@@ -1,0 +1,112 @@
+"""Batched masked Kabsch/Procrustes pose recovery.
+
+TPU-native replacement for /root/reference/rectified_point_flow/procrustes.py.
+The reference runs an O(B·P) *serial* Python loop of 3x3 SVDs per ODE step when
+rigidity forcing is enabled (procrustes.py:40-118) — the #2 hot spot in the
+survey. Here every part is solved simultaneously: masked centroids + one
+batched 3x3 SVD under ``vmap``; the det-reflection fix is branchless; empty
+parts resolve to identity. Everything is fp32 and jit/scan-safe, so rigidity
+forcing stays on-device inside the sampler's ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .segments import masked_mean
+
+
+def kabsch_masked(
+    source: jax.Array,  # (..., N, 3)
+    target: jax.Array,  # (..., N, 3)
+    mask: jax.Array,    # (..., N) bool
+    weights: jax.Array | None = None,  # (..., N) optional per-point weights
+):
+    """Solve min_{R,t} ||source @ R^T + t - target||^2 per leading batch entry.
+
+    Matches the reference convention (procrustes.py:6-37): returns (R, t) with
+    ``det(R) = +1`` such that ``source @ R^T + t ≈ target``. Parts whose mask is
+    empty (or degenerate) return (I, 0) / (I, Δcentroid).
+    """
+    source = source.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    w = mask.astype(jnp.float32)
+    if weights is not None:
+        w = w * weights.astype(jnp.float32)
+
+    wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)  # (..., 1)
+    src_mean = jnp.sum(source * w[..., None], axis=-2) / wsum       # (..., 3)
+    tgt_mean = jnp.sum(target * w[..., None], axis=-2) / wsum
+
+    src_c = (source - src_mean[..., None, :]) * w[..., None]
+    tgt_c = target - tgt_mean[..., None, :]
+
+    # Cross-covariance H = src_c^T @ tgt_c  -> (..., 3, 3). Always fp32 on the
+    # MXU: pose recovery breaks down at bf16 matmul precision.
+    H = jnp.einsum(
+        "...ni,...nj->...ij", src_c, tgt_c, precision=jax.lax.Precision.HIGHEST
+    )
+
+    U, _, Vt = jnp.linalg.svd(H)
+    V = jnp.swapaxes(Vt, -1, -2)
+    Ut = jnp.swapaxes(U, -1, -2)
+    # Branchless reflection fix: R = V @ diag(1, 1, det(V @ U^T)) @ U^T.
+    d = jnp.linalg.det(jnp.matmul(V, Ut, precision=jax.lax.Precision.HIGHEST))
+    D = jnp.stack(
+        [jnp.ones_like(d), jnp.ones_like(d), d], axis=-1
+    )  # (..., 3)
+    R = jnp.matmul(V * D[..., None, :], Ut, precision=jax.lax.Precision.HIGHEST)
+
+    # Empty parts -> identity rotation.
+    empty = jnp.sum(mask.astype(jnp.int32), axis=-1) == 0
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
+    R = jnp.where(empty[..., None, None], eye, R)
+
+    t = tgt_mean - jnp.einsum(
+        "...ij,...j->...i", R, src_mean, precision=jax.lax.Precision.HIGHEST
+    )
+    t = jnp.where(empty[..., None], 0.0, t)
+    return R, t
+
+
+def transform_points(R: jax.Array, t: jax.Array, pts: jax.Array) -> jax.Array:
+    """Apply rigid transform: pts @ R^T + t (R: (...,3,3), t: (...,3), pts: (...,N,3))."""
+    return (
+        jnp.einsum("...ij,...nj->...ni", R, pts, precision=jax.lax.Precision.HIGHEST)
+        + t[..., None, :]
+    )
+
+
+def fit_transformations(
+    source: jax.Array,  # (G, N, 3) — condition parts
+    target: jax.Array,  # (G, N, 3) — predicted parts
+    mask: jax.Array,    # (G, N)
+):
+    """Per-part rigid poses, all parts at once (ref procrustes.py:40-84)."""
+    return kabsch_masked(source, target, mask)
+
+
+def rigidify_prediction(
+    prediction: jax.Array,  # (G, N, 3)
+    condition: jax.Array,   # (G, N, 3)
+    mask: jax.Array,        # (G, N)
+) -> jax.Array:
+    """Replace each predicted part by the rigidly-transformed condition part.
+
+    Equivalent to reference procrustes.py:86-118 but fully batched (no Python
+    loops), so it can live inside the sampler's ``lax.scan``.
+    """
+    R, t = kabsch_masked(condition, prediction, mask)
+    rigid = transform_points(R, t, condition)
+    return jnp.where(mask[..., None], rigid, prediction)
+
+
+def rotation_angle_deg(R_a: jax.Array, R_b: jax.Array) -> jax.Array:
+    """Geodesic angle (degrees) between rotation matrices (... ,3,3)."""
+    Rrel = jnp.matmul(
+        jnp.swapaxes(R_a, -1, -2), R_b, precision=jax.lax.Precision.HIGHEST
+    )
+    tr = jnp.trace(Rrel, axis1=-2, axis2=-1)
+    cos = jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+    return jnp.degrees(jnp.arccos(cos))

@@ -1,0 +1,88 @@
+"""ODE samplers for rectified point flow, as `lax.scan` loops.
+
+Behavioral parity with /root/reference/rectified_point_flow/sampler.py:
+  - t runs 1 -> 0 in ``num_steps`` uniform Euler steps (sampler.py:11-92):
+      v      = model(x_t, t)
+      x0_hat = x_t - v * t
+      x_t    <- x_t - dt * v
+  - optional rigidity forcing (sampler.py:55-60): per-part Procrustes-rigidify
+    x0_hat, then re-interpolate x_t = x0_rigid * (1 - t + dt) + x_1 * (t - dt).
+  - both trajectories are recorded: end-point (x0_hat) and x_t.
+
+TPU-first divergence: the loop is a single compiled ``lax.scan`` with the
+rigidity forcing fully on-device (batched Kabsch, core/procrustes.py), instead
+of a Python loop with serial SVDs. The reference's sampling is anchor-free
+(anchor-clamp lines commented out, sampler.py:44,91) — same here.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .procrustes import rigidify_prediction
+
+
+class SampleResult(NamedTuple):
+    x_final: jax.Array                 # (G, N, 3) final x_t (t=0)
+    end_point_trajectory: jax.Array | None  # (steps, G, N, 3) x0_hat per step
+    trajectory: jax.Array | None       # (steps, G, N, 3) x_t per step
+
+
+def flow_sampler(
+    velocity_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    x_1: jax.Array,
+    condition: jax.Array,
+    point_mask: jax.Array,
+    num_steps: int = 20,
+    rigidity_forcing: bool = False,
+    return_trajectory: bool = True,
+    method: str = "euler",
+) -> SampleResult:
+    """Integrate the learned flow from noise ``x_1`` (t=1) to the scene (t=0).
+
+    Args:
+        velocity_fn: ``(x_t (G,N,3), t scalar) -> v (G,N,3)``; the model wrapper
+            is responsible for broadcasting t to per-sample timesteps.
+        x_1: (G, N, 3) Gaussian noise.
+        condition: (G, N, 3) unposed input parts (used by rigidity forcing).
+        point_mask: (G, N) validity mask.
+        num_steps: static step count.
+        method: 'euler' (reference registers only euler; sampler.py:154-167).
+    """
+    if method != "euler":
+        raise ValueError(f"Unknown sampler: {method}. Available: ['euler']")
+    dt = 1.0 / num_steps
+
+    def step(x_t, step_idx):
+        t = 1.0 - step_idx.astype(jnp.float32) * dt
+        v = velocity_fn(x_t, t)
+        x_0_hat = x_t - v * t
+        x_next = x_t - dt * v
+        if rigidity_forcing:
+            # note: the recorded end-point trajectory keeps the *raw* x_0_hat,
+            # matching reference sampler.py:58-66.
+            x_0_rigid = rigidify_prediction(x_0_hat, condition, point_mask)
+            x_next = x_0_rigid * (1.0 - t + dt) + x_1 * (t - dt)
+        out = (x_0_hat, x_next) if return_trajectory else None
+        return x_next, out
+
+    x_final, traj = jax.lax.scan(step, x_1, jnp.arange(num_steps))
+    if return_trajectory:
+        end_point_traj, xt_traj = traj
+        return SampleResult(x_final, end_point_traj, xt_traj)
+    return SampleResult(x_final, None, None)
+
+
+def compute_linearity(trajectory: jax.Array, mask: jax.Array) -> jax.Array:
+    """Ratio of straight-line to path length per point (ref modeling.py:31-47).
+
+    trajectory: (steps, G, N, 3) -> (G, N); masked points get 0.
+    """
+    straight = jnp.linalg.norm(trajectory[0] - trajectory[-1], axis=-1)
+    seglen = jnp.linalg.norm(jnp.diff(trajectory, axis=0), axis=-1)
+    path = jnp.sum(seglen, axis=0)
+    lin = straight / jnp.maximum(path, 1e-12)
+    return jnp.where(mask, lin, 0.0)
