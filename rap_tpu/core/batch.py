@@ -201,6 +201,63 @@ def make_synthetic_batch(
     )
 
 
+def make_regular_synthetic_batch(
+    key: jax.Array,
+    points_per_part: list[list[int]],
+    N: int,
+    P: int,
+    S: int | None = None,
+    feat_dim: int = 32,
+) -> PartBatch:
+    """Synthetic batch in the *regular* layout the model requires:
+    G = S*P, ``sample_of_part == repeat(arange(S), P)``; each sample's parts
+    occupy its own P-slot block (padded slots have part_valid=False).
+    """
+    n_samples = len(points_per_part)
+    S = S or n_samples
+    assert all(len(c) <= P for c in points_per_part)
+    b = make_synthetic_batch(
+        key,
+        parts_per_sample=[len(c) for c in points_per_part],
+        points_per_part=points_per_part,
+        N=N,
+        G=sum(len(c) for c in points_per_part),
+        S=S,
+        feat_dim=feat_dim,
+    )
+    # scatter the compact parts into per-sample P-blocks
+    G = S * P
+    idx = []
+    src = 0
+    for s in range(n_samples):
+        for p in range(len(points_per_part[s])):
+            idx.append((s * P + p, src))
+            src += 1
+    dst = np.array([d for d, _ in idx])
+    srcs = np.array([s0 for _, s0 in idx])
+
+    def scatter(arr, fill=0):
+        out = np.full((G,) + arr.shape[1:], fill, dtype=arr.dtype)
+        out[dst] = np.asarray(arr)[srcs]
+        return jnp.asarray(out)
+
+    rots = np.array(np.asarray(scatter(np.asarray(b.rotations_gt))))
+    rots[~np.isin(np.arange(G), dst)] = np.eye(3, dtype=np.float32)
+    return PartBatch(
+        points=scatter(b.points),
+        points_gt=scatter(b.points_gt),
+        local_feats=scatter(b.local_feats),
+        point_mask=scatter(b.point_mask, fill=False),
+        part_valid=scatter(b.part_valid, fill=False),
+        sample_of_part=jnp.repeat(jnp.arange(S, dtype=jnp.int32), P),
+        anchor_part=scatter(b.anchor_part, fill=False),
+        rotations_gt=jnp.asarray(rots),
+        translations_gt=scatter(b.translations_gt),
+        scale=b.scale,
+        sample_valid=b.sample_valid,
+    )
+
+
 def validate(batch: PartBatch) -> None:
     """Host-side invariant checks (for tests / data pipeline debugging)."""
     sop = np.asarray(batch.sample_of_part)

@@ -1,0 +1,256 @@
+"""PointCloudDiT: multi-part point-cloud diffusion transformer, TPU-native.
+
+Behavioral parity with /root/reference/rectified_point_flow/flow_model/
+(point_cloud_dit.py, layer.py, norm.py, embedding.py):
+
+  - encoding: NeRF PE of condition coords (63) + noise coords (63) [+ latent]
+    [+ scale PE (21)] [+ local features (32)] -> Linear to embed_dim; no
+    view-index embedding (permutation equivariance, embedding.py:108).
+  - learnable anchor/moving embedding (nn.Embedding(2, D), point_cloud_dit.py:82).
+  - per layer: AdaLN-prenorm part attention -> AdaLN-prenorm global attention
+    -> LayerNorm + GEGLU FeedForward, each residual (layer.py:134-166);
+    fused QKV (no bias), per-head RMS qk-norm (gamma * sqrt(d) * normalize),
+    optional tanh softcap.
+  - fp32 final MLP D -> D -> D/2 -> out (last layer bias-free).
+
+TPU-first divergences:
+  - layout is sample-major (S, P, N, D); part attention is batched dense over
+    N, global attention is batched over P*N (ops/attention.py). No varlen.
+  - layers are scanned (`lax.scan` over stacked params): constant compile
+    time in depth.
+  - bf16 compute with fp32 norms/softmax accumulation instead of fp16 AMP.
+
+Parameter layout is a plain nested-dict pytree; per-layer leaves are stacked
+along axis 0 (see `init_dit_params`). `models/convert.py` maps reference
+torch checkpoints onto this pytree.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..core.batch import PartBatch
+from ..ops.attention import batched_attention
+from .config import DiTConfig
+from .embedding import nerf_positional_encoding, sinusoidal_timestep_embedding
+
+Params = dict[str, Any]
+
+
+# --------------------------------------------------------------------------
+# Initialization (torch-Linear-style uniform bounds so converted and trained
+# checkpoints share statistics)
+# --------------------------------------------------------------------------
+
+def _linear_init(key, fan_in, fan_out, bias=True, stacked: int | None = None):
+    kk, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(fan_in)
+    shape_k = (fan_in, fan_out) if stacked is None else (stacked, fan_in, fan_out)
+    p = {"kernel": jax.random.uniform(kk, shape_k, jnp.float32, -bound, bound)}
+    if bias:
+        shape_b = (fan_out,) if stacked is None else (stacked, fan_out)
+        p["bias"] = jax.random.uniform(kb, shape_b, jnp.float32, -bound, bound)
+    return p
+
+
+def _adaln_init(key, cfg: DiTConfig, L: int):
+    k1, k2, k3 = jax.random.split(key, 3)
+    D, C = cfg.embed_dim, cfg.time_embed_channels
+    return {
+        "time_mlp1": _linear_init(k1, C, D, stacked=L),
+        "time_mlp2": _linear_init(k2, D, D, stacked=L),
+        "ada_linear": _linear_init(k3, D, 2 * D, stacked=L),
+    }
+
+
+def init_dit_params(key: jax.Array, cfg: DiTConfig) -> Params:
+    keys = jax.random.split(key, 16)
+    D, L, H, dh = cfg.embed_dim, cfg.num_layers, cfg.num_heads, cfg.head_dim
+    layers = {
+        "self_prenorm": _adaln_init(keys[2], cfg, L),
+        "self_qkv": _linear_init(keys[3], D, 3 * D, bias=False, stacked=L),
+        "self_out": _linear_init(keys[4], D, D, stacked=L),
+        "global_prenorm": _adaln_init(keys[5], cfg, L),
+        "global_qkv": _linear_init(keys[6], D, 3 * D, bias=False, stacked=L),
+        "global_out": _linear_init(keys[7], D, D, stacked=L),
+        "ff_norm": {"scale": jnp.ones((L, D)), "bias": jnp.zeros((L, D))},
+        "ff_in": _linear_init(keys[8], D, 8 * D, stacked=L),   # GEGLU: 2 * 4D
+        "ff_out": _linear_init(keys[9], 4 * D, D, stacked=L),
+    }
+    if cfg.qk_norm:
+        layers["self_q_gamma"] = jnp.ones((L, H, dh))
+        layers["self_k_gamma"] = jnp.ones((L, H, dh))
+        layers["global_q_gamma"] = jnp.ones((L, H, dh))
+        layers["global_k_gamma"] = jnp.ones((L, H, dh))
+    return {
+        "anchor_emb": jax.random.normal(keys[0], (2, D), jnp.float32),
+        "emb_proj": _linear_init(keys[1], cfg.embed_input_dim, D),
+        "layers": layers,
+        "final_mlp": {
+            "fc1": _linear_init(keys[10], D, D),
+            "fc2": _linear_init(keys[11], D, D // 2),
+            "fc3": _linear_init(keys[12], D // 2, cfg.out_dim, bias=False),
+        },
+    }
+
+
+def param_count(params: Params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))
+
+
+# --------------------------------------------------------------------------
+# Forward
+# --------------------------------------------------------------------------
+
+def _linear(p, x):
+    y = x @ p["kernel"].astype(x.dtype)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def _layer_norm(x, scale=None, bias=None, eps: float = 1e-5):
+    """LayerNorm with fp32 statistics regardless of input dtype."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    if scale is not None:
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _adaln(p, x, t_emb_sin):
+    """Adaptive LayerNorm (ref norm.py:36-76): timestep MLP -> (scale, shift).
+
+    x: (G, N, D); t_emb_sin: (G, C) per-part sinusoidal timestep embedding
+    (already gathered from per-sample timesteps).
+    """
+    e = _linear(p["time_mlp1"], t_emb_sin.astype(jnp.float32))
+    e = jax.nn.silu(e)
+    e = _linear(p["time_mlp2"], e)
+    e = jax.nn.silu(e)
+    e = _linear(p["ada_linear"], e)  # (G, 2D)
+    scale, shift = jnp.split(e, 2, axis=-1)
+    y = _layer_norm(x)
+    return (
+        y * (1.0 + scale[:, None, :]).astype(y.dtype)
+        + shift[:, None, :].astype(y.dtype)
+    )
+
+
+def _rms_qk(x, gamma):
+    """Per-head RMS norm: normalize(x) * gamma * sqrt(dh) (ref norm.py:15-33)."""
+    xf = x.astype(jnp.float32)
+    n = xf * jax.lax.rsqrt(jnp.sum(xf * xf, axis=-1, keepdims=True) + 1e-12)
+    dh = x.shape[-1]
+    return (n * gamma.astype(jnp.float32) * math.sqrt(dh)).astype(x.dtype)
+
+
+def _attention_block(
+    lp, prefix, x, t_emb, mask, cfg: DiTConfig, S: int, P: int, is_global: bool
+):
+    """One AdaLN-prenorm attention sub-block; returns the residual branch."""
+    G, N, D = x.shape
+    H, dh = cfg.num_heads, cfg.head_dim
+    h = _adaln(lp[f"{prefix}_prenorm"], x, t_emb)
+    qkv = _linear(lp[f"{prefix}_qkv"], h)  # (G, N, 3D)
+    qkv = qkv.reshape(G, N, 3, H, dh)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    if cfg.qk_norm:
+        q = _rms_qk(q, lp[f"{prefix}_q_gamma"])
+        k = _rms_qk(k, lp[f"{prefix}_k_gamma"])
+    if is_global:
+        # (S, P*N, H, dh): all parts of a sample form one sequence
+        q = q.reshape(S, P * N, H, dh)
+        k = k.reshape(S, P * N, H, dh)
+        v = v.reshape(S, P * N, H, dh)
+        kv_mask = mask.reshape(S, P * N)
+    else:
+        kv_mask = mask
+    out = batched_attention(
+        q, k, v, kv_mask, impl=cfg.attn_impl, softcap=cfg.softcap
+    )
+    out = out.reshape(G, N, D)
+    return _linear(lp[f"{prefix}_out"], out)
+
+
+def _geglu_ff(lp, x):
+    """LayerNorm + GEGLU feed-forward (diffusers layout: hidden, gate = split)."""
+    h = _layer_norm(x, lp["ff_norm"]["scale"], lp["ff_norm"]["bias"])
+    proj = _linear(lp["ff_in"], h)
+    hidden, gate = jnp.split(proj, 2, axis=-1)
+    act = hidden * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(
+        hidden.dtype
+    )
+    return _linear(lp["ff_out"], act)
+
+
+def dit_forward(
+    params: Params,
+    cfg: DiTConfig,
+    x: jax.Array,           # (G, N, 3) noise coords at timestep t
+    timesteps: jax.Array,   # (S,) per-sample t in [0, 1]
+    batch: PartBatch,
+    parts_per_sample: int,
+    return_features: bool = False,
+    remat: bool = False,
+):
+    """Predict the velocity field. Returns (G, N, out_dim) fp32 [, features].
+
+    Requires the regular layout: G == S * parts_per_sample with
+    ``sample_of_part == repeat(arange(S), P)`` (the packer guarantees this).
+    """
+    G, N, _ = x.shape
+    S, P = timesteps.shape[0], parts_per_sample
+    assert G == S * P, f"regular layout required: G={G} != S*P={S * P}"
+    dtype = cfg.compute_dtype
+    mask = batch.point_mask
+
+    # ---- encoding (fp32, then cast) --------------------------------------
+    cond = batch.points
+    feats = [
+        nerf_positional_encoding(cond, cfg.multires),
+        nerf_positional_encoding(x, cfg.multires),
+    ]
+    if cfg.scale_emb_on:
+        scales_pt = batch.per_sample_to_point(batch.scale)[..., None]  # (G,N,1)
+        feats.append(nerf_positional_encoding(scales_pt, cfg.multires))
+    if cfg.local_feat_concat_on:
+        feats.append(batch.local_feats.astype(jnp.float32))
+    emb_in = jnp.concatenate(feats, axis=-1)
+    h = _linear(params["emb_proj"], emb_in)                         # (G,N,D)
+    anchor_vec = jnp.take(
+        params["anchor_emb"], batch.anchor_part.astype(jnp.int32), axis=0
+    )                                                               # (G,D)
+    h = (h + anchor_vec[:, None, :]).astype(dtype)
+
+    # ---- per-part timestep sinusoid (shared by every AdaLN) --------------
+    t_part = batch.per_sample_to_part(timesteps)                    # (G,)
+    t_emb = sinusoidal_timestep_embedding(t_part, cfg.time_embed_channels)
+
+    # ---- transformer layers (scan over stacked params) --------------------
+    def layer_fn(h, lp):
+        h = h + _attention_block(lp, "self", h, t_emb, mask, cfg, S, P, False)
+        h = h + _attention_block(lp, "global", h, t_emb, mask, cfg, S, P, True)
+        h = h + _geglu_ff(lp, h)
+        return h, None
+
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
+    h, _ = jax.lax.scan(layer_fn, h, params["layers"])
+
+    # ---- fp32 head --------------------------------------------------------
+    hf = h.astype(jnp.float32)
+    out = _linear(params["final_mlp"]["fc1"], hf)
+    out = jax.nn.silu(out)
+    out = _linear(params["final_mlp"]["fc2"], out)
+    out = jax.nn.silu(out)
+    out = _linear(params["final_mlp"]["fc3"], out)
+    if return_features:
+        return out, hf
+    return out

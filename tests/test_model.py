@@ -1,0 +1,215 @@
+"""Tests for the attention primitive and the PointCloudDiT model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rap_tpu.core.batch import make_regular_synthetic_batch, validate
+from rap_tpu.models import DiTConfig, dit_forward, init_dit_params
+from rap_tpu.models.dit import param_count
+from rap_tpu.models.embedding import (
+    nerf_positional_encoding,
+    sinusoidal_timestep_embedding,
+)
+from rap_tpu.ops.attention import batched_attention
+
+CFG_TINY = DiTConfig(
+    embed_dim=64,
+    num_layers=2,
+    num_heads=4,
+    compute_dtype=jnp.float32,
+    local_feat_dim=8,
+)
+
+
+def _tiny_batch(key=0, S=2, P=2, N=16):
+    return make_regular_synthetic_batch(
+        jax.random.key(key),
+        points_per_part=[[N - 4, N // 2], [N, 3]][:S],
+        N=N,
+        P=P,
+        S=S,
+        feat_dim=8,
+    )
+
+
+class TestAttention:
+    def _rand(self, key, B=2, T=32, H=2, d=16):
+        ks = jax.random.split(jax.random.key(key), 4)
+        q = jax.random.normal(ks[0], (B, T, H, d))
+        k = jax.random.normal(ks[1], (B, T, H, d))
+        v = jax.random.normal(ks[2], (B, T, H, d))
+        mask = jax.random.uniform(ks[3], (B, T)) > 0.3
+        return q, k, v, mask
+
+    def test_dense_equals_chunked(self):
+        q, k, v, mask = self._rand(0)
+        a = batched_attention(q, k, v, mask, impl="dense")
+        b = batched_attention(q, k, v, mask, impl="chunked", chunk=8)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_masked_keys_never_contribute(self):
+        q, k, v, mask = self._rand(1)
+        out1 = batched_attention(q, k, v, mask, impl="dense")
+        # corrupt masked keys/values wildly
+        big = jnp.where(mask[..., None, None], k, 1e6)
+        bigv = jnp.where(mask[..., None, None], v, -1e6)
+        out2 = batched_attention(q, big, bigv, mask, impl="dense")
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+    def test_fully_masked_rows_zero_not_nan(self):
+        q, k, v, _ = self._rand(2)
+        mask = jnp.zeros((2, 32), bool)
+        for impl in ["dense", "chunked"]:
+            out = batched_attention(q, k, v, mask, impl=impl)
+            assert bool(jnp.isfinite(out).all())
+            np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+    def test_softcap(self):
+        q, k, v, mask = self._rand(3)
+        a = batched_attention(q, k, v, mask, impl="dense", softcap=5.0)
+        b = batched_attention(q, k, v, mask, impl="chunked", softcap=5.0, chunk=8)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        c = batched_attention(q, k, v, mask, impl="dense")
+        assert float(jnp.abs(a - c).max()) > 1e-6  # softcap actually does something
+
+    def test_single_key_attends_itself(self):
+        q, k, v, _ = self._rand(4, T=8)
+        mask = jnp.zeros((2, 8), bool).at[:, 5].set(True)
+        out = batched_attention(q, k, v, mask, impl="dense")
+        expect = jnp.broadcast_to(v[:, 5:6], out.shape)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-5)
+
+
+class TestEmbedding:
+    def test_nerf_pe_values(self):
+        x = jnp.asarray([[0.5, -1.0, 2.0]])
+        pe = nerf_positional_encoding(x, 10)
+        assert pe.shape == (1, 63)
+        np.testing.assert_allclose(np.asarray(pe[0, :3]), [0.5, -1.0, 2.0], atol=1e-7)
+        # freq 2^0: sin then cos of x
+        np.testing.assert_allclose(
+            np.asarray(pe[0, 3:6]), np.sin([0.5, -1.0, 2.0]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(pe[0, 6:9]), np.cos([0.5, -1.0, 2.0]), atol=1e-6
+        )
+        # last freq 2^9 = 512
+        np.testing.assert_allclose(
+            np.asarray(pe[0, -6:-3]), np.sin(np.array([0.5, -1.0, 2.0]) * 512), atol=1e-4
+        )
+
+    def test_sinusoidal_timestep_cos_first(self):
+        t = jnp.asarray([0.0, 1.0])
+        emb = sinusoidal_timestep_embedding(t, 256)
+        assert emb.shape == (2, 256)
+        # t=0: cos(0)=1 (first half), sin(0)=0 (second half)
+        np.testing.assert_allclose(np.asarray(emb[0, :128]), 1.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(emb[0, 128:]), 0.0, atol=1e-6)
+        # t=1, channel 0 of cos half: cos(1)
+        np.testing.assert_allclose(float(emb[1, 0]), np.cos(1.0), atol=1e-6)
+        np.testing.assert_allclose(float(emb[1, 128]), np.sin(1.0), atol=1e-6)
+
+
+class TestDiT:
+    def test_forward_shapes_and_dtype(self):
+        b = _tiny_batch()
+        validate(b)
+        params = init_dit_params(jax.random.key(0), CFG_TINY)
+        x = jax.random.normal(jax.random.key(1), b.points.shape)
+        t = jnp.asarray([0.5, 0.9])
+        v = dit_forward(params, CFG_TINY, x, t, b, parts_per_sample=2)
+        assert v.shape == (4, 16, 3)
+        assert v.dtype == jnp.float32
+        v2, feats = dit_forward(
+            params, CFG_TINY, x, t, b, parts_per_sample=2, return_features=True
+        )
+        assert feats.shape == (4, 16, 64)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v2), atol=1e-6)
+
+    def test_param_count_rap12(self):
+        """rap_12 parameter count from the reference architecture: per layer
+        2 AdaLN timestep embedders (~1.84M) + 2 fused QKV (~1.57M) + 2 out
+        proj (~0.52M) + GEGLU FF (~3.15M) => ~7.1M/layer, ~86M total."""
+        cfg = DiTConfig(num_layers=12)
+        params = init_dit_params(jax.random.key(0), cfg)
+        n = param_count(params)
+        assert 80e6 < n < 92e6, f"param count {n / 1e6:.1f}M out of range"
+
+    def test_padded_points_do_not_affect_valid_outputs(self):
+        b = _tiny_batch()
+        params = init_dit_params(jax.random.key(0), CFG_TINY)
+        x = jax.random.normal(jax.random.key(1), b.points.shape)
+        t = jnp.asarray([0.5, 0.9])
+        v1 = dit_forward(params, CFG_TINY, x, t, b, parts_per_sample=2)
+        # corrupt padded coords, feats, and noise
+        pm = b.point_mask[..., None]
+        b2 = b.replace(
+            points=jnp.where(pm, b.points, 77.0),
+            local_feats=jnp.where(pm, b.local_feats, -55.0),
+        )
+        x2 = jnp.where(pm, x, 123.0)
+        v2 = dit_forward(params, CFG_TINY, x2, t, b2, parts_per_sample=2)
+        diff = jnp.abs(v1 - v2) * pm
+        assert float(diff.max()) < 1e-4
+
+    def test_sample_isolation(self):
+        """Changing sample 1's inputs must not change sample 0's outputs."""
+        b = _tiny_batch()
+        params = init_dit_params(jax.random.key(0), CFG_TINY)
+        x = jax.random.normal(jax.random.key(1), b.points.shape)
+        t = jnp.asarray([0.5, 0.9])
+        v1 = dit_forward(params, CFG_TINY, x, t, b, parts_per_sample=2)
+        b2 = b.replace(points=b.points.at[2:].add(3.0))
+        t2 = jnp.asarray([0.5, 0.1])
+        v2 = dit_forward(params, CFG_TINY, x, t2, b2, parts_per_sample=2)
+        np.testing.assert_allclose(
+            np.asarray(v1[:2]), np.asarray(v2[:2]), atol=1e-5
+        )
+        assert float(jnp.abs(v1[2:] - v2[2:]).max()) > 1e-3
+
+    def test_point_permutation_equivariance(self):
+        """Permuting valid points within a part permutes outputs identically
+        (the model has no positional ordering — ref embedding.py:108)."""
+        b = _tiny_batch(S=1, P=2, N=16)
+        # use the full part 0 (12 valid points)
+        params = init_dit_params(jax.random.key(0), CFG_TINY)
+        x = jax.random.normal(jax.random.key(1), b.points.shape)
+        t = jnp.asarray([0.5])
+        v1 = dit_forward(params, CFG_TINY, x, t, b, parts_per_sample=2)
+        nvalid = int(b.point_mask[0].sum())
+        perm = np.random.default_rng(0).permutation(nvalid)
+        full_perm = np.concatenate([perm, np.arange(nvalid, 16)])
+
+        def permute(arr):
+            return arr.at[0].set(arr[0, full_perm])
+
+        b2 = b.replace(
+            points=permute(b.points),
+            points_gt=permute(b.points_gt),
+            local_feats=permute(b.local_feats),
+        )
+        v2 = dit_forward(params, CFG_TINY, permute(x), t, b2, parts_per_sample=2)
+        np.testing.assert_allclose(
+            np.asarray(v1[0, perm]), np.asarray(v2[0, :nvalid]), atol=1e-4
+        )
+
+    def test_anchor_embedding_matters(self):
+        b = _tiny_batch()
+        params = init_dit_params(jax.random.key(0), CFG_TINY)
+        x = jax.random.normal(jax.random.key(1), b.points.shape)
+        t = jnp.asarray([0.5, 0.9])
+        v1 = dit_forward(params, CFG_TINY, x, t, b, parts_per_sample=2)
+        b2 = b.replace(anchor_part=jnp.zeros_like(b.anchor_part))
+        v2 = dit_forward(params, CFG_TINY, x, t, b2, parts_per_sample=2)
+        assert float(jnp.abs(v1 - v2).max()) > 1e-4
+
+    def test_remat_matches(self):
+        b = _tiny_batch()
+        params = init_dit_params(jax.random.key(0), CFG_TINY)
+        x = jax.random.normal(jax.random.key(1), b.points.shape)
+        t = jnp.asarray([0.5, 0.9])
+        v1 = dit_forward(params, CFG_TINY, x, t, b, parts_per_sample=2)
+        v2 = dit_forward(params, CFG_TINY, x, t, b, parts_per_sample=2, remat=True)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
