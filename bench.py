@@ -1,0 +1,108 @@
+"""Benchmark: registered pairs/sec/chip at the reference inference protocol.
+
+Protocol (BASELINE.md): rap_12 (12-layer 512-dim DiT), pairwise registration
+at 8k points/pair (2 parts x 4096), 10 Euler steps, 1 generation, rigidity
+forcing on, bf16 compute — the reference's default RAP_inference.yaml setup.
+The whole generation (ODE scan + per-step batched Kabsch + final pose fit)
+is one jitted program; we batch PAIRS pairs per call and report steady-state
+throughput.
+
+Baseline note: the reference publishes no numbers (BASELINE.json
+published={}), so vs_baseline is measured against an analytic estimate of the
+reference on an A100: ~39 TFLOP/pair (12 layers x (2-level flash attention at
+8k tokens + 7.1M-param matmuls) x 10 steps) at ~40% fp16 MFU ~= 3.0
+pairs/sec, ignoring its per-step host-side serial SVD stalls (SURVEY.md §3
+hot loop #2). Update when real paper/GPU numbers become available.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_GPU_PAIRS_PER_SEC = 3.0
+PAIRS = 4           # pairs per batch
+POINTS_PER_PART = 4096
+STEPS = 10
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from rap_tpu.core.batch import make_regular_synthetic_batch
+    from rap_tpu.models import DiTConfig
+    from rap_tpu.models.dit import init_dit_params
+    from rap_tpu.registration import RPFConfig, predict_poses, sample
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.device_kind}, platform {dev.platform}")
+
+    cfg = RPFConfig(
+        model=DiTConfig(num_layers=12),
+        inference_sampling_steps=STEPS,
+        rigidity_forcing=True,
+    )
+    batch = make_regular_synthetic_batch(
+        jax.random.key(0),
+        points_per_part=[[POINTS_PER_PART, POINTS_PER_PART] for _ in range(PAIRS)],
+        N=POINTS_PER_PART,
+        P=2,
+        S=PAIRS,
+        feat_dim=cfg.model.local_feat_dim,
+    )
+    params = init_dit_params(jax.random.key(1), cfg.model)
+
+    @jax.jit
+    def generate(params, batch, key):
+        out = sample(
+            params, cfg, batch, key, return_trajectory=False
+        )
+        R, t = predict_poses(batch, out["points"])
+        return out["points"], R, t
+
+    key = jax.random.key(2)
+    t0 = time.time()
+    pts, R, t = generate(params, batch, key)
+    jax.block_until_ready((pts, R, t))
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+    assert bool(jnp.isfinite(pts).all()), "non-finite generation"
+
+    # steady state: queue REPS batches, sync once (the serving pattern)
+    REPS = 5
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        for i in range(REPS):
+            pts, R, t = generate(params, batch, jax.random.fold_in(key, i))
+        jax.block_until_ready((pts, R, t))
+        times.append((time.time() - t0) / REPS)
+    per_batch = float(np.median(times))
+    pairs_per_sec = PAIRS / per_batch
+    log(
+        f"batch of {PAIRS} pairs: {per_batch * 1e3:.1f} ms "
+        f"({per_batch / PAIRS * 1e3:.1f} ms/pair)"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "registered_pairs_per_sec_per_chip_8k_pts",
+                "value": round(pairs_per_sec, 3),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_sec / REF_GPU_PAIRS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

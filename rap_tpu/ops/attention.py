@@ -116,9 +116,13 @@ def batched_attention(
         scale = 1.0 / math.sqrt(q.shape[-1])
     B, Tq, H, d = q.shape
     Tk = k.shape[1]
+    on_tpu = jax.default_backend() == "tpu"
     if impl == "auto":
-        # dense logits budget ~256M fp32 entries
-        impl = "dense" if B * H * Tq * Tk <= 2**28 else "chunked"
+        if on_tpu and Tk >= 1024:
+            impl = "pallas"
+        else:
+            # dense logits budget ~256M fp32 entries
+            impl = "dense" if B * H * Tq * Tk <= 2**28 else "chunked"
     if impl == "dense":
         return _dense_attention(q, k, v, kv_mask, scale, softcap)
     if impl == "chunked":
@@ -126,5 +130,8 @@ def batched_attention(
     if impl == "pallas":
         from .pallas_attention import flash_attention
 
-        return flash_attention(q, k, v, kv_mask, scale=scale, softcap=softcap)
+        # compiled Mosaic needs a TPU; fall back to the interpreter elsewhere
+        return flash_attention(
+            q, k, v, kv_mask, scale=scale, softcap=softcap, interpret=not on_tpu
+        )
     raise ValueError(f"Unknown attention impl: {impl}")

@@ -1,0 +1,63 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement for the reference's Lightning DDP/NCCL setup
+(SURVEY.md §2.4): a single `jax.sharding.Mesh` with a ``data`` axis over
+ICI/DCN; batches shard along their leading (part/sample) axis, parameters
+replicate, and XLA inserts the gradient all-reduce — no manual collectives.
+A ``model`` axis slot is reserved for future tensor parallelism (the models
+are <100M params, so DP is the reference-parity requirement).
+
+The PartBatch regular layout (sample-major, G = S*P) makes leading-axis
+sharding consistent: G-dim arrays split into (S/n)*P chunks that own exactly
+the samples of the matching S-dim chunks, so parts of one sample always land
+on one device and the attention reshapes (G,N,D) <-> (S,P*N,D) stay local.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.batch import PartBatch
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_devices: int | None = None, model_parallel: int = 1, devices=None
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = n_devices or len(devices)
+    assert n % model_parallel == 0
+    arr = np.asarray(devices[:n]).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> PartBatch:
+    """A PartBatch of NamedShardings: every array sharded on its leading axis."""
+    lead = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree.map(lambda _: lead, _batch_struct())
+
+
+def _batch_struct():
+    # a skeletal PartBatch used only as a pytree template
+    import jax.numpy as jnp
+
+    z = jnp.zeros((1,))
+    return PartBatch(
+        points=z, points_gt=z, local_feats=z, point_mask=z, part_valid=z,
+        sample_of_part=z, anchor_part=z, rotations_gt=z, translations_gt=z,
+        scale=z, sample_valid=z,
+    )
+
+
+def shard_batch(batch: PartBatch, mesh: Mesh) -> PartBatch:
+    """Device-put a host batch with leading-axis sharding over the data axis."""
+    lead = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, lead), batch)

@@ -1,0 +1,146 @@
+"""Rectified Point Flow orchestration: training forward, sampling, pose fitting.
+
+The TPU-native equivalent of /root/reference/rectified_point_flow/modeling.py
+(RectifiedPointFlow LightningModule): pure functions over (params, config,
+PartBatch) instead of a stateful module; train/eval steps are jitted by the
+trainer (rap_tpu/train) and the apps (rap_tpu/apps).
+
+Parity notes:
+  - training target and loss: modeling.py:186-201, 284-302.
+  - timestep schemes: modeling.py:134-166 (core/flow.py).
+  - sampling wrapper incl. transformer-feature capture on the final step:
+    modeling.py:632-741 — here features come from one extra forward at the
+    final x_t (cheap relative to the ODE loop, keeps the scan clean).
+  - multi-generation best-of-N / rigidity-selection logic lives in
+    rap_tpu/eval/evaluator.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .core import flow, procrustes
+from .core.batch import PartBatch
+from .core.sampler import SampleResult, flow_sampler
+from .models.config import DiTConfig
+from .models.dit import dit_forward
+
+
+@dataclasses.dataclass(frozen=True)
+class RPFConfig:
+    """Pipeline configuration (reference RAP_inference.yaml + modeling.py)."""
+
+    model: DiTConfig = dataclasses.field(default_factory=DiTConfig)
+    loss_type: str = "mse"
+    timestep_sampling: str = "u_shaped"
+    inference_sampling_steps: int = 10
+    inference_sampler: str = "euler"
+    n_generations: int = 1
+    rigidity_forcing: bool = True
+    return_end_point_trajectory: bool = True
+
+
+def parts_per_sample(batch: PartBatch) -> int:
+    """Static P of the regular layout (G == S * P)."""
+    assert batch.G % batch.S == 0, "batch is not in regular layout"
+    return batch.G // batch.S
+
+
+def velocity_fn(params, cfg: RPFConfig, batch: PartBatch, **fwd_kw):
+    """Build the (x_t, t_scalar) -> v closure used by the ODE sampler."""
+    P = parts_per_sample(batch)
+
+    def fn(x_t: jax.Array, t) -> jax.Array:
+        ts = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (batch.S,))
+        return dit_forward(
+            params, cfg.model, x_t, ts, batch, parts_per_sample=P, **fwd_kw
+        )
+
+    return fn
+
+
+def training_forward(
+    params, cfg: RPFConfig, batch: PartBatch, rng: jax.Array, remat: bool = True
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """One training forward: sample t, build flow target, predict v, loss."""
+    k_t, k_noise = jax.random.split(rng)
+    t_sample = flow.sample_timesteps(k_t, batch.S, cfg.timestep_sampling)  # (S,)
+    # invalid sample slots keep a valid t (masked out of the loss anyway)
+    x_0 = batch.points_gt
+    x_1 = jax.random.normal(k_noise, x_0.shape, x_0.dtype)
+    t_point = batch.per_sample_to_point(t_sample)[..., None]  # (G, N, 1)
+    x_t, v_t = flow.flow_interpolate(x_0, x_1, t_point)
+
+    v_pred = dit_forward(
+        params,
+        cfg.model,
+        x_t,
+        t_sample,
+        batch,
+        parts_per_sample=parts_per_sample(batch),
+        remat=remat,
+    )
+    loss = flow.velocity_loss(v_pred, v_t, batch.point_mask, cfg.loss_type)
+    n_pred, n_t = flow.velocity_norms(v_pred, v_t, batch.point_mask)
+    return loss, {"loss": loss, "norm_v_pred": n_pred, "norm_v_t": n_t}
+
+
+def sample(
+    params,
+    cfg: RPFConfig,
+    batch: PartBatch,
+    rng: jax.Array,
+    x_1: jax.Array | None = None,
+    return_trajectory: bool = True,
+    return_transformer_features: bool = False,
+    num_steps: int | None = None,
+) -> dict[str, Any]:
+    """Generate a registered scene by integrating the learned flow.
+
+    Returns dict with 'points' (G,N,3), optional 'end_point_trajectory' /
+    'trajectory' (steps,G,N,3), optional 'transformer_features' (G,N,D).
+    """
+    if x_1 is None:
+        x_1 = jax.random.normal(rng, batch.points.shape, jnp.float32)
+    steps = num_steps or cfg.inference_sampling_steps
+    vfn = velocity_fn(params, cfg, batch)
+    res: SampleResult = flow_sampler(
+        vfn,
+        x_1=x_1,
+        condition=batch.points,
+        point_mask=batch.point_mask,
+        num_steps=steps,
+        rigidity_forcing=cfg.rigidity_forcing,
+        return_trajectory=return_trajectory,
+        method=cfg.inference_sampler,
+    )
+    out: dict[str, Any] = {"points": res.x_final}
+    if return_trajectory:
+        out["end_point_trajectory"] = res.end_point_trajectory
+        out["trajectory"] = res.trajectory
+    if return_transformer_features:
+        # one extra forward at the final state, t ~ 0 (ref modeling.py:676-698)
+        P = parts_per_sample(batch)
+        ts = jnp.full((batch.S,), 1.0 / steps, jnp.float32)
+        _, feats = dit_forward(
+            params,
+            cfg.model,
+            res.x_final,
+            ts,
+            batch,
+            parts_per_sample=P,
+            return_features=True,
+        )
+        out["transformer_features"] = feats
+    return out
+
+
+def predict_poses(batch: PartBatch, predicted_points: jax.Array):
+    """Per-part rigid poses condition -> prediction (ref modeling.py:389-393)."""
+    return procrustes.fit_transformations(
+        batch.points, predicted_points, batch.point_mask
+    )

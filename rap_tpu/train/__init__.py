@@ -1,0 +1,2 @@
+from .optim import build_optimizer, OptimizerConfig
+from .step import TrainState, make_train_step, make_eval_step

@@ -1,0 +1,155 @@
+"""Optimizers: AdamW and Muon (Newton-Schulz orthogonalized momentum).
+
+Parity with /root/reference/rectified_point_flow/utils/optimizers.py and
+config/model/optimizer/*.yaml: AdamW lr=2e-4 wd=1e-6, or Muon for matrix
+(ndim>=2) params at lr_muon = 10*lr with wd*0.1 plus an auxiliary AdamW group
+for the rest; MultiStepLR x0.5 at [400,550,700,850,1000] epochs
+(config/model/lr_scheduler/*.yaml).
+
+Muon follows the public algorithm (Jordan et al., github.com/KellerJordan/Muon):
+momentum -> 5-step Newton-Schulz orthogonalization with the quintic
+coefficients (3.4445, -4.7750, 2.0315), scaled by sqrt(max(1, rows/cols)).
+Implemented in optax so it composes with grad clipping and schedules;
+stacked per-layer leaves (L, in, out) orthogonalize each matrix via the
+batched matmuls (MXU-friendly — no per-matrix Python loop).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    name: str = "muon"             # "adamw" | "muon"
+    lr: float = 2e-4               # AdamW lr (muon group uses 10x)
+    weight_decay: float = 1e-6
+    betas: tuple[float, float] = (0.9, 0.95)
+    muon_lr_mult: float = 10.0
+    muon_wd_mult: float = 0.1
+    muon_momentum: float = 0.95
+    grad_clip: float = 0.5         # ref config/trainer/main.yaml gradient_clip_val
+    # MultiStepLR-style schedule in *epochs*; converted with steps_per_epoch
+    lr_milestones: tuple[int, ...] = (400, 550, 700, 850, 1000)
+    lr_gamma: float = 0.5
+
+
+_NS_COEFFS = (3.4445, -4.7750, 2.0315)
+
+
+def newton_schulz_orthogonalize(m: jax.Array, steps: int = 5) -> jax.Array:
+    """Approximate UV^T of the (batched) matrix m via quintic Newton-Schulz.
+
+    m: (..., rows, cols). Computed in bf16 like the public implementation
+    (robust because the iteration is strongly contracting), returned fp32.
+    """
+    a, b, c = _NS_COEFFS
+    transpose = m.shape[-2] > m.shape[-1]
+    x = jnp.swapaxes(m, -1, -2) if transpose else m
+    x = x.astype(jnp.bfloat16)
+    norm = jnp.sqrt(
+        jnp.sum(x.astype(jnp.float32) ** 2, axis=(-2, -1), keepdims=True)
+    )
+    x = x / jnp.maximum(norm, 1e-7).astype(x.dtype)
+    for _ in range(steps):
+        xxt = jnp.einsum(
+            "...ij,...kj->...ik", x, x, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)
+        bx = jnp.einsum(
+            "...ij,...jk->...ik", xxt, x, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)
+        cxx = jnp.einsum(
+            "...ij,...jk->...ik", xxt, bx, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)
+        x = a * x + b * bx + c * cxx
+    x = x.astype(jnp.float32)
+    return jnp.swapaxes(x, -1, -2) if transpose else x
+
+
+def scale_by_muon(momentum: float = 0.95, nesterov: bool = True):
+    """Optax transform: momentum buffer -> orthogonalized update."""
+
+    def init_fn(params):
+        return {"mu": jax.tree.map(jnp.zeros_like, params)}
+
+    def update_fn(updates, state, params=None):
+        mu = jax.tree.map(
+            lambda m, g: momentum * m + g, state["mu"], updates
+        )
+        eff = (
+            jax.tree.map(lambda m, g: g + momentum * m, mu, updates)
+            if nesterov
+            else mu
+        )
+
+        def orth(u):
+            if u.ndim < 2:
+                return u
+            rows, cols = u.shape[-2], u.shape[-1]
+            o = newton_schulz_orthogonalize(u)
+            return o * jnp.sqrt(jnp.maximum(1.0, rows / cols))
+
+        return jax.tree.map(orth, eff), {"mu": mu}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _is_matrix_mask(params):
+    """Muon applies to ndim>=2 leaves; embeddings/vectors go to AdamW.
+
+    Mirrors the reference's split (optimizers.py:25-48). Stacked per-layer
+    leaves are (L, in, out) => matrix. The (2, D) anchor embedding is an
+    embedding table: route to AdamW via its path name.
+    """
+
+    def mask(path, leaf):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if "anchor_emb" in name:
+            return False
+        return leaf.ndim >= 2
+
+    return lambda params: jax.tree_util.tree_map_with_path(mask, params)
+
+
+def multistep_schedule(base_lr: float, cfg: OptimizerConfig, steps_per_epoch: int):
+    bounds = {
+        int(m) * steps_per_epoch: cfg.lr_gamma for m in cfg.lr_milestones
+    }
+    return optax.piecewise_constant_schedule(base_lr, bounds)
+
+
+def build_optimizer(
+    cfg: OptimizerConfig, steps_per_epoch: int = 1
+) -> optax.GradientTransformation:
+    adamw = lambda lr, wd: optax.adamw(  # noqa: E731
+        multistep_schedule(lr, cfg, steps_per_epoch),
+        b1=cfg.betas[0],
+        b2=cfg.betas[1],
+        weight_decay=wd,
+    )
+    if cfg.name == "adamw":
+        tx = adamw(cfg.lr, cfg.weight_decay)
+    elif cfg.name == "muon":
+        muon_tx = optax.chain(
+            scale_by_muon(cfg.muon_momentum),
+            optax.add_decayed_weights(cfg.weight_decay * cfg.muon_wd_mult),
+            optax.scale_by_learning_rate(
+                multistep_schedule(cfg.lr * cfg.muon_lr_mult, cfg, steps_per_epoch)
+            ),
+        )
+        mask_fn = _is_matrix_mask(None)
+        tx = optax.multi_transform(
+            {"muon": muon_tx, "adamw": adamw(cfg.lr, cfg.weight_decay)},
+            lambda params: jax.tree.map(
+                lambda is_mat: "muon" if is_mat else "adamw", mask_fn(params)
+            ),
+        )
+    else:
+        raise ValueError(f"Unknown optimizer: {cfg.name}")
+    if cfg.grad_clip and cfg.grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+    return tx

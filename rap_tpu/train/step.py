@@ -1,0 +1,99 @@
+"""Jitted train/eval steps with data-parallel sharding.
+
+Replaces the reference's Lightning training_step/validation_step + DDP
+(modeling.py:304-331, config/trainer/main.yaml): a pure optax train step
+jitted over a Mesh. Batches shard on their leading axis; params/opt-state
+replicate; XLA inserts the gradient all-reduce (GSPMD) — the TPU-equivalent
+of DDP's NCCL bucket all-reduce.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.sharding import Mesh
+
+from ..core.batch import PartBatch
+from ..parallel.mesh import batch_sharding, replicate_sharding
+from ..registration import RPFConfig, training_forward
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+    @classmethod
+    def create(cls, params, tx, rng):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            rng=rng,
+        )
+
+
+def make_train_step(cfg: RPFConfig, tx, mesh: Mesh | None = None, remat: bool = True):
+    """Returns ``step(state, batch) -> (state, metrics)``, jitted.
+
+    With a mesh, in/out shardings pin the batch to the data axis and the
+    state to full replication.
+    """
+
+    def step_fn(state: TrainState, batch: PartBatch):
+        rng, sub = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            loss, metrics = training_forward(params, cfg, batch, sub, remat=remat)
+            return loss, metrics
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(
+            lambda p, u: p + u.astype(p.dtype), state.params, updates
+        )
+        metrics = dict(metrics)
+        metrics["grad_norm"] = jnp.sqrt(
+            sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree.leaves(grads))
+        )
+        return (
+            state.replace(
+                step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+            ),
+            metrics,
+        )
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+    repl = replicate_sharding(mesh)
+    bshard = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, bshard),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(cfg: RPFConfig, mesh: Mesh | None = None):
+    """Validation loss step (no ODE sampling; that goes through apps/eval)."""
+
+    def step_fn(params, batch: PartBatch, rng):
+        loss, metrics = training_forward(params, cfg, batch, rng, remat=False)
+        return metrics
+
+    if mesh is None:
+        return jax.jit(step_fn)
+    repl = replicate_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, batch_sharding(mesh), repl),
+        out_shardings=repl,
+    )

@@ -213,3 +213,35 @@ class TestDiT:
         v1 = dit_forward(params, CFG_TINY, x, t, b, parts_per_sample=2)
         v2 = dit_forward(params, CFG_TINY, x, t, b, parts_per_sample=2, remat=True)
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-6)
+
+
+class TestPallasAttention:
+    def test_interpret_parity_with_dense(self):
+        from rap_tpu.ops.pallas_attention import flash_attention
+
+        ks = jax.random.split(jax.random.key(0), 4)
+        B, T, H, d = 2, 300, 4, 64
+        q = jax.random.normal(ks[0], (B, T, H, d))
+        k = jax.random.normal(ks[1], (B, T, H, d))
+        v = jax.random.normal(ks[2], (B, T, H, d))
+        mask = jax.random.uniform(ks[3], (B, T)) > 0.3
+        ref = batched_attention(q, k, v, mask, impl="dense")
+        out = flash_attention(q, k, v, mask, interpret=True, block_q=128, block_k=128)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_interpret_softcap_and_full_mask(self):
+        from rap_tpu.ops.pallas_attention import flash_attention
+
+        ks = jax.random.split(jax.random.key(1), 4)
+        B, T, H, d = 1, 256, 2, 64
+        q = jax.random.normal(ks[0], (B, T, H, d))
+        k = jax.random.normal(ks[1], (B, T, H, d))
+        v = jax.random.normal(ks[2], (B, T, H, d))
+        mask = jax.random.uniform(ks[3], (B, T)) > 0.5
+        ref = batched_attention(q, k, v, mask, impl="dense", softcap=4.0)
+        out = flash_attention(q, k, v, mask, softcap=4.0, interpret=True,
+                              block_q=128, block_k=128)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+        z = flash_attention(q, k, v, jnp.zeros((B, T), bool), interpret=True,
+                            block_q=128, block_k=128)
+        np.testing.assert_allclose(np.asarray(z), 0.0, atol=1e-7)
