@@ -1,0 +1,269 @@
+"""Evaluator: metric dict per batch, multi-generation aggregation, artifacts.
+
+Parity with /root/reference/rectified_point_flow/eval/evaluator.py and the
+multi-generation selection logic of modeling.py:333-630:
+
+  - per-batch metric dict with the reference's metric names/units
+    (evaluator.py:30-250), computed fully batched (eval/metrics.py).
+  - best-of-N: max over generations for acc/recall/success/ecdf keys, min
+    otherwise (modeling.py:434-451).
+  - rigidity-selected: pick the generation with the smallest rigidity RMSE,
+    optionally averaged over ALL trajectory steps — the reference refits
+    poses serially per step (its hottest loop); here it is one vmapped
+    Kabsch over (steps, G, ...) (modeling.py:458-530).
+  - overlap-selected: pick the generation with the largest overlap ratio
+    (modeling.py:590-618).
+  - artifacts: per-sample JSON, per-part 4x4 transform .txt files (the
+    contract demo.py consumes, evaluator.py:383-496), merged/part PLYs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.batch import PartBatch
+from ..core.procrustes import fit_transformations
+from . import metrics as M
+
+# keys where bigger is better (best-of-N takes max) — ref modeling.py:438
+_MAX_KEYS = ("acc", "recall", "success", "ecdf", "overlap_ratio", "correspondence_ratio")
+
+
+def _is_max_key(key: str) -> bool:
+    return any(k in key for k in _MAX_KEYS)
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    rmse_eval_on: bool = False            # pairwise correspondence RMSE metrics
+    overlap_eval_on: bool = False         # overlap-ratio metrics
+    use_average_rigidity_rmse: bool = True
+    save_results: bool = False
+    save_json: bool = True
+    save_pointcloud_parts: bool = False
+    save_merged_pointcloud_steps: bool = False
+    output_dir: str = "results"
+    folder_suffix: str | None = None
+
+
+class Evaluator:
+    def __init__(self, cfg: EvalConfig = EvalConfig()):
+        self.cfg = cfg
+
+    # ---- single-generation metrics (jit-friendly) -------------------------
+    def compute_metrics(
+        self,
+        batch: PartBatch,
+        pred: jax.Array,
+        rotations_pred: jax.Array | None = None,
+        translations_pred: jax.Array | None = None,
+    ) -> dict[str, jax.Array]:
+        cd = M.chamfer_rmse(batch, pred)
+        cd_m = cd * batch.scale
+        out: dict[str, jax.Array] = {
+            "chamfer_l2 (m)": cd_m,
+            "object_chamfer": cd,
+        }
+        if rotations_pred is not None:
+            rot_err, trans_err = M.transform_errors(
+                batch, rotations_pred, translations_pred, anchor_relative=True
+            )
+            rig = M.rigidity_rmse(batch, pred, rotations_pred, translations_pred)
+            out.update(
+                {
+                    "average_rotation_error (deg)": rot_err,
+                    "average_translation_error (m)": trans_err,
+                    "recall_at_10deg_0.2m (nss)": M.combined_recall(
+                        rot_err, trans_err, 10, 0.2
+                    ),
+                    "recall_at_15deg_0.3m (indoor_bufferx)": M.combined_recall(
+                        rot_err, trans_err, 15, 0.3
+                    ),
+                    "recall_at_5deg_2m (outdoor_bufferx)": M.combined_recall(
+                        rot_err, trans_err, 5, 2.0
+                    ),
+                    "recall_at_10deg_5m (map)": M.combined_recall(
+                        rot_err, trans_err, 10, 5.0
+                    ),
+                    "recall_at_chamfer_0.2m": M.recall_at(cd_m, 0.2),
+                    "rigidity_rmse (m)": rig,
+                }
+            )
+            if self.cfg.rmse_eval_on and batch.G // batch.S == 2:
+                rmse, ratio, terr = M.correspondence_rmse_pairs(
+                    batch, rotations_pred, translations_pred
+                )
+                out.update(
+                    {
+                        "correspondence_rmse (m)": rmse,
+                        "correspondence_ratio": ratio,
+                        "recall_at_rmse_0.2m": M.recall_at(rmse, 0.2),
+                        "transform_error_rmse (m)": terr,
+                        "recall_at_transform_error_rmse_0.2m": M.recall_at(
+                            terr, 0.2
+                        ),
+                    }
+                )
+        if self.cfg.overlap_eval_on:
+            ors = M.overlap_ratio(batch, pred)
+            out["overlap_ratio_at_0.5%"] = ors[0]
+            out["overlap_ratio_at_1%"] = ors[1]
+            out["overlap_ratio_at_2%"] = ors[2]
+        return out
+
+    # ---- multi-generation aggregation --------------------------------------
+    def aggregate_generations(
+        self,
+        batch: PartBatch,
+        gen_results: list[dict[str, jax.Array]],
+        gen_trajectories: list[jax.Array] | None = None,
+    ) -> dict[str, np.ndarray | dict]:
+        """Average / best-of-N / rigidity-selected / overlap-selected metrics.
+
+        gen_results: one metric dict per generation, each (S,) arrays.
+        gen_trajectories: optional per-generation end-point trajectories
+            (steps, G, N, 3) for trajectory-averaged rigidity selection.
+        """
+        n = len(gen_results)
+        keys = list(gen_results[0].keys())
+        stacked = {
+            k: np.stack([np.asarray(r[k]) for r in gen_results]) for k in keys
+        }  # (n, S)
+        agg: dict[str, Any] = {"avg": {k: stacked[k].mean(0) for k in keys}}
+        if n > 1:
+            agg[f"best_of_{n}"] = {
+                k: (stacked[k].max(0) if _is_max_key(k) else stacked[k].min(0))
+                for k in keys
+            }
+            # rigidity selection
+            if "rigidity_rmse (m)" in stacked:
+                if self.cfg.use_average_rigidity_rmse and gen_trajectories:
+                    rig = np.stack(
+                        [
+                            np.asarray(
+                                trajectory_rigidity_rmse(batch, traj)
+                            ).mean(0)
+                            for traj in gen_trajectories
+                        ]
+                    )  # (n, S)
+                else:
+                    rig = stacked["rigidity_rmse (m)"]
+                best = np.argmin(rig, axis=0)  # (S,)
+                sel = {
+                    k: stacked[k][best, np.arange(stacked[k].shape[1])]
+                    for k in keys
+                }
+                agg["rigidity_selected"] = sel
+                agg["rigidity_selected_gen"] = best
+            if "overlap_ratio_at_1%" in stacked:
+                best = np.argmax(stacked["overlap_ratio_at_1%"], axis=0)
+                agg["overlap_ratio_selected"] = {
+                    k: stacked[k][best, np.arange(stacked[k].shape[1])]
+                    for k in keys
+                }
+                agg["overlap_ratio_selected_gen"] = best
+        return agg
+
+    # ---- artifact persistence ----------------------------------------------
+    def save_sample_results(
+        self,
+        batch: PartBatch,
+        pred: np.ndarray,
+        rotations_pred: np.ndarray,
+        translations_pred: np.ndarray,
+        metrics_dict: dict[str, np.ndarray],
+        sample_names: list[str],
+        dataset_name: str = "dataset",
+        generation_idx: int | str = 0,
+        trajectory: np.ndarray | None = None,
+    ) -> None:
+        """Write per-sample JSON + per-part transform .txt (+ optional PLYs).
+
+        Transform files follow the demo.py contract (ref evaluator.py:383-496
+        -> demo.py:1294-1338): `<name>/<generation_g>/part{p}_transform.txt`
+        holding a 4x4 row-major matrix in METRIC scale mapping the (centered)
+        input part to the registered scene.
+        """
+        from ..utils import ply as plyio
+
+        root = Path(self.cfg.output_dir)
+        if self.cfg.folder_suffix:
+            root = root.with_name(root.name + f"_{self.cfg.folder_suffix}")
+        S = batch.S
+        P = batch.G // S
+        N = batch.N
+        mask = np.asarray(batch.point_mask).reshape(S, P, N)
+        pv = np.asarray(batch.part_valid).reshape(S, P)
+        scale = np.asarray(batch.scale)
+        pred_sp = pred.reshape(S, P, N, 3)
+        R_sp = rotations_pred.reshape(S, P, 3, 3)
+        t_sp = translations_pred.reshape(S, P, 3)
+        sv = np.asarray(batch.sample_valid)
+
+        for s in range(S):
+            if not sv[s]:
+                continue
+            name = sample_names[s] if s < len(sample_names) else f"sample_{s}"
+            d = root / dataset_name / name / f"generation_{generation_idx}"
+            d.mkdir(parents=True, exist_ok=True)
+            if self.cfg.save_json:
+                payload = {
+                    k: float(np.asarray(v[s]))
+                    for k, v in metrics_dict.items()
+                }
+                payload["scale"] = float(scale[s])
+                (d / "metrics.json").write_text(json.dumps(payload, indent=2))
+            # per-part 4x4 transforms in metric scale
+            for p in range(P):
+                if not pv[s, p]:
+                    continue
+                T = np.eye(4, dtype=np.float64)
+                T[:3, :3] = R_sp[s, p]
+                T[:3, 3] = t_sp[s, p] * scale[s]
+                np.savetxt(d / f"part{p}_transform.txt", T, fmt="%.8f")
+            # merged prediction cloud (metric scale)
+            pts = pred_sp[s][pv[s]]
+            msk = mask[s][pv[s]]
+            merged = np.concatenate(
+                [pp[mm] for pp, mm in zip(pts, msk)], axis=0
+            ) * scale[s]
+            plyio.write_ply(d / "merged_pred.ply", merged)
+            if self.cfg.save_pointcloud_parts:
+                for p in range(P):
+                    if pv[s, p]:
+                        plyio.write_ply(
+                            d / f"part{p}_pred.ply",
+                            pred_sp[s, p][mask[s, p]] * scale[s],
+                        )
+            if trajectory is not None and self.cfg.save_merged_pointcloud_steps:
+                steps = trajectory.shape[0]
+                gdir = d / "generation" / "endpoint"
+                gdir.mkdir(parents=True, exist_ok=True)
+                traj_sp = trajectory.reshape(steps, S, P, N, 3)
+                for st in range(steps):
+                    pts_t = traj_sp[st, s][pv[s]]
+                    merged_t = np.concatenate(
+                        [pp[mm] for pp, mm in zip(pts_t, mask[s][pv[s]])], 0
+                    ) * scale[s]
+                    plyio.write_ply(gdir / f"step_{st}.ply", merged_t)
+
+
+def trajectory_rigidity_rmse(batch: PartBatch, trajectory: jax.Array) -> jax.Array:
+    """Rigidity RMSE for every trajectory step at once: (steps, S).
+
+    The reference refits poses step-by-step in Python (modeling.py:462-500,
+    'very hot'); here one vmapped Kabsch handles all steps simultaneously.
+    """
+
+    def per_step(step_pts):
+        R, t = fit_transformations(batch.points, step_pts, batch.point_mask)
+        return M.rigidity_rmse(batch, step_pts, R, t)
+
+    return jax.lax.map(per_step, trajectory)

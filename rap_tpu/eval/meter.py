@@ -1,0 +1,150 @@
+"""Per-dataset metric accumulation + rich result tables.
+
+Parity with /root/reference/rectified_point_flow/utils/logging.py
+(MetricsMeter :306-524, print_eval_table :81-303): per-dataset running
+sums/counts with an overall split, sample counts, part-count ranges, and a
+console table with avg / best-of-N / rigidity-selected sections.
+
+TPU-native distributed note: the reference reduces across DDP ranks with
+``all_gather_object`` on dataset-name lists + float64 ``all_reduce``
+(logging.py:397-424). Here datasets form a *static registry* (names known
+up front), so cross-host reduction is a fixed-size float array psum via
+``jax.experimental.multihost_utils`` (see reduce_across_hosts) — gathering
+Python objects is not TPU-idiomatic.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+
+
+class MetricsMeter:
+    def __init__(self):
+        self._sums: dict[str, dict[str, float]] = defaultdict(lambda: defaultdict(float))
+        self._counts: dict[str, dict[str, int]] = defaultdict(lambda: defaultdict(int))
+        self._samples: dict[str, int] = defaultdict(int)
+        self._part_ranges: dict[str, tuple[int, int]] = {}
+
+    def add_metrics(
+        self,
+        dataset_name: str | list[str],
+        metrics: dict[str, np.ndarray],
+        valid: np.ndarray,
+        num_parts: np.ndarray | None = None,
+    ) -> None:
+        """Accumulate per-sample metric arrays (S,) under their dataset names."""
+        valid = np.asarray(valid, bool)
+        S = int(valid.shape[0])
+        names = (
+            [dataset_name] * S if isinstance(dataset_name, str) else list(dataset_name)
+        )
+        for key, vals in metrics.items():
+            vals = np.asarray(vals, np.float64).reshape(-1)
+            for s in range(S):
+                if not valid[s]:
+                    continue
+                v = vals[s]
+                if not np.isfinite(v):
+                    continue
+                self._sums[names[s]][key] += float(v)
+                self._counts[names[s]][key] += 1
+        for s in range(S):
+            if valid[s]:
+                self._samples[names[s]] += 1
+                if num_parts is not None:
+                    p = int(np.asarray(num_parts).reshape(-1)[s])
+                    lo, hi = self._part_ranges.get(names[s], (p, p))
+                    self._part_ranges[names[s]] = (min(lo, p), max(hi, p))
+
+    def compute_average(self) -> dict[str, dict[str, float]]:
+        """{dataset: {metric: mean}} plus an 'overall' entry."""
+        out: dict[str, dict[str, float]] = {}
+        total_sums: dict[str, float] = defaultdict(float)
+        total_counts: dict[str, int] = defaultdict(int)
+        for ds, sums in self._sums.items():
+            out[ds] = {}
+            for k, sm in sums.items():
+                c = self._counts[ds][k]
+                out[ds][k] = sm / max(c, 1)
+                total_sums[k] += sm
+                total_counts[k] += c
+        out["overall"] = {
+            k: total_sums[k] / max(total_counts[k], 1) for k in total_sums
+        }
+        return out
+
+    def get_sample_counts(self) -> dict[str, int]:
+        return dict(self._samples)
+
+    def get_part_count_ranges(self) -> dict[str, tuple[int, int]]:
+        return dict(self._part_ranges)
+
+    def reset(self) -> None:
+        self.__init__()
+
+    # ---- cross-host reduction (multi-process TPU) --------------------------
+    def reduce_across_hosts(self, dataset_registry: list[str]) -> None:
+        """Sum sums/counts across jax processes over a static dataset registry."""
+        import jax
+
+        if jax.process_count() == 1:
+            return
+        from jax.experimental import multihost_utils
+
+        keys = sorted({k for d in self._sums.values() for k in d})
+        vec = np.zeros((len(dataset_registry), len(keys), 2), np.float64)
+        for i, ds in enumerate(dataset_registry):
+            for j, k in enumerate(keys):
+                vec[i, j, 0] = self._sums[ds].get(k, 0.0)
+                vec[i, j, 1] = self._counts[ds].get(k, 0)
+        reduced = multihost_utils.process_allgather(vec.astype(np.float32)).sum(0)
+        for i, ds in enumerate(dataset_registry):
+            for j, k in enumerate(keys):
+                self._sums[ds][k] = float(reduced[i, j, 0])
+                self._counts[ds][k] = int(reduced[i, j, 1])
+
+
+def print_eval_table(
+    sections: dict[str, dict[str, dict[str, float]]],
+    sample_counts: dict[str, int] | None = None,
+    part_ranges: dict[str, tuple[int, int]] | None = None,
+    console=None,
+) -> None:
+    """Rich console tables: one per section (avg / best_of_N / ...).
+
+    sections: {section: {dataset: {metric: value}}}.
+    """
+    try:
+        from rich.console import Console
+        from rich.table import Table
+    except ImportError:  # plain-text fallback
+        for sec, per_ds in sections.items():
+            print(f"== {sec} ==")
+            for ds, md in per_ds.items():
+                for k, v in md.items():
+                    print(f"  {ds:<20s} {k:<42s} {v:.4f}")
+        return
+
+    console = console or Console()
+    for sec, per_ds in sections.items():
+        datasets = list(per_ds.keys())
+        metric_keys = sorted({k for md in per_ds.values() for k in md})
+        table = Table(title=f"Evaluation — {sec}")
+        table.add_column("metric", justify="left")
+        for ds in datasets:
+            label = ds
+            if sample_counts and ds in sample_counts:
+                label += f" (n={sample_counts[ds]})"
+            if part_ranges and ds in part_ranges:
+                lo, hi = part_ranges[ds]
+                label += f" [{lo}-{hi}p]"
+            table.add_column(label, justify="right")
+        for k in metric_keys:
+            row = [k]
+            for ds in datasets:
+                v = per_ds[ds].get(k)
+                row.append("-" if v is None else f"{v:.4f}")
+            table.add_row(*row)
+        console.print(table)

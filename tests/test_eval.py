@@ -1,0 +1,317 @@
+"""Eval suite tests against closed-form cases (SURVEY.md §4 oracles)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from rap_tpu.core.batch import make_regular_synthetic_batch
+from rap_tpu.core.procrustes import fit_transformations, transform_points
+from rap_tpu.eval import Evaluator, EvalConfig, MetricsMeter, metrics as M
+from rap_tpu.eval.evaluator import trajectory_rigidity_rmse
+
+
+def _batch(key=0, S=2, P=2, N=64):
+    return make_regular_synthetic_batch(
+        jax.random.key(key),
+        points_per_part=[[N, N - 10]] * S,
+        N=N,
+        P=P,
+        S=S,
+        feat_dim=4,
+    )
+
+
+class TestChamfer:
+    def test_zero_for_perfect_prediction(self):
+        b = _batch()
+        cd = M.chamfer_rmse(b, b.points_gt)
+        np.testing.assert_allclose(np.asarray(cd), 0.0, atol=1e-3)
+
+    def test_known_offset(self):
+        """Shifting the prediction by d makes chamfer RMSE <= d (NN may
+        re-match), and exactly d for a single faraway point per part."""
+        b = _batch(S=1)
+        shifted = b.points_gt + jnp.asarray([0.005, 0.0, 0.0])
+        cd = float(M.chamfer_rmse(b, shifted)[0])
+        assert 0.0 < cd <= 0.005 + 1e-5
+
+    def test_padding_invariance(self):
+        b = _batch(S=1)
+        pred = b.points_gt
+        corrupted = jnp.where(b.point_mask[..., None], pred, 1e3)
+        cd1 = float(M.chamfer_rmse(b, pred)[0])
+        cd2 = float(M.chamfer_rmse(b, corrupted)[0])
+        np.testing.assert_allclose(cd1, cd2, atol=1e-5)
+
+
+class TestTransformErrors:
+    def test_zero_for_gt_poses(self):
+        b = _batch()
+        rot, trans = M.transform_errors(
+            b, b.rotations_gt, b.translations_gt, anchor_relative=True
+        )
+        np.testing.assert_allclose(np.asarray(rot), 0.0, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(trans), 0.0, atol=1e-4)
+        rot_d, trans_d = M.transform_errors(
+            b, b.rotations_gt, b.translations_gt, anchor_relative=False
+        )
+        np.testing.assert_allclose(np.asarray(rot_d), 0.0, atol=1e-3)
+
+    def test_known_rotation_error(self):
+        """Perturb the non-anchor part's pose by a known angle."""
+        b = _batch(S=1, P=2)
+        Rz = Rotation.from_euler("z", 20, degrees=True).as_matrix().astype(np.float32)
+        R_pred = np.asarray(b.rotations_gt).copy()
+        anchor = np.asarray(b.anchor_part)
+        nonanchor = int(np.where(~anchor[:2])[0][0])
+        R_pred[nonanchor] = R_pred[nonanchor] @ Rz
+        rot, _ = M.transform_errors(
+            b, jnp.asarray(R_pred), b.translations_gt, anchor_relative=True
+        )
+        np.testing.assert_allclose(float(rot[0]), 20.0, atol=0.1)
+
+    def test_translation_error_scales_to_meters(self):
+        b = _batch(S=1, P=2)
+        b = b.replace(scale=jnp.full((1,), 4.0))
+        t_pred = np.asarray(b.translations_gt).copy()
+        anchor = np.asarray(b.anchor_part)
+        nonanchor = int(np.where(~anchor[:2])[0][0])
+        t_pred[nonanchor] += [0.1, 0.0, 0.0]  # 0.1 scaled units = 0.4 m
+        _, trans = M.transform_errors(
+            b, b.rotations_gt, jnp.asarray(t_pred), anchor_relative=True
+        )
+        np.testing.assert_allclose(float(trans[0]), 0.4, atol=1e-4)
+
+
+class TestRigidity:
+    def test_zero_for_rigid_prediction(self):
+        b = _batch()
+        pred = transform_points(b.rotations_gt, b.translations_gt, b.points)
+        pred = jnp.where(b.point_mask[..., None], pred, 0.0)
+        rig = M.rigidity_rmse(b, pred, b.rotations_gt, b.translations_gt)
+        np.testing.assert_allclose(np.asarray(rig), 0.0, atol=1e-4)
+
+    def test_trajectory_rigidity_batched(self):
+        b = _batch(S=1)
+        pred = transform_points(b.rotations_gt, b.translations_gt, b.points)
+        traj = jnp.stack([pred, pred + 0.01])
+        rr = trajectory_rigidity_rmse(b, traj)
+        assert rr.shape == (2, 1)
+        np.testing.assert_allclose(float(rr[0, 0]), 0.0, atol=1e-4)
+        # a constant offset is itself rigid => still ~0
+        np.testing.assert_allclose(float(rr[1, 0]), 0.0, atol=1e-4)
+
+
+class TestCorrespondence:
+    def test_perfect_pair(self):
+        """Two overlapping parts, GT poses: RMSE ~ 0, ratio > 0."""
+        rng = np.random.default_rng(0)
+        base = rng.standard_normal((80, 3)).astype(np.float32) * 0.1
+        # source part = points 0..59, target part = points 20..79 (overlap 40)
+        from rap_tpu.core.batch import PartBatch
+
+        N = 64
+        src_gt = base[:60]
+        tgt_gt = base[20:]
+        R = Rotation.random(random_state=rng).as_matrix().astype(np.float32)
+
+        def pad(x):
+            out = np.zeros((N, 3), np.float32)
+            out[: len(x)] = x
+            return out
+
+        pts_gt = np.stack([pad(src_gt), pad(tgt_gt[:N])])
+        # condition: target part rotated (anchor = source = part 0)
+        tgt_in = (tgt_gt[:N] - tgt_gt[:N].mean(0)) @ R.T
+        pts_in = np.stack([pad(src_gt), pad(tgt_in)])
+        mask = np.zeros((2, N), bool)
+        mask[0, :60] = True
+        mask[1, : len(tgt_gt[:N])] = True
+        rot_gt = np.stack([np.eye(3, dtype=np.float32), R.T @ np.eye(3)])
+        # pose: tgt_in @ R_gt^T + t == tgt_gt  => R_gt = R^T? verify:
+        # tgt_in = (tgt - c) R^T => tgt = tgt_in R + c => R_gt^T = R => R_gt = R^T
+        rot_gt = np.stack([np.eye(3, dtype=np.float32), np.asarray(R.T)])
+        trans_gt = np.stack([np.zeros(3, np.float32), tgt_gt[:N].mean(0)])
+        b = PartBatch(
+            points=jnp.asarray(pts_in),
+            points_gt=jnp.asarray(pts_gt),
+            local_feats=jnp.zeros((2, N, 4)),
+            point_mask=jnp.asarray(mask),
+            part_valid=jnp.asarray([True, True]),
+            sample_of_part=jnp.asarray([0, 0], jnp.int32),
+            anchor_part=jnp.asarray([True, False]),
+            rotations_gt=jnp.asarray(rot_gt),
+            translations_gt=jnp.asarray(trans_gt),
+            scale=jnp.ones((1,)),
+            sample_valid=jnp.asarray([True]),
+        )
+        # sanity: stored pose maps condition -> gt
+        rec = transform_points(b.rotations_gt, b.translations_gt, b.points)
+        err = jnp.abs(rec - b.points_gt) * b.point_mask[..., None]
+        assert float(err.max()) < 1e-5
+
+        rmse, ratio, terr = M.correspondence_rmse_pairs(
+            b, b.rotations_gt, b.translations_gt
+        )
+        # with pred == GT, RMSE equals the RMS of GT NN distances at matched
+        # points: bounded by the 5 cm matching threshold, and the 40 shared
+        # points contribute exactly 0
+        assert 0.0 <= float(rmse[0]) <= 0.05
+        assert float(ratio[0]) > 0.5
+        assert float(terr[0]) < 1e-3
+
+    def test_identical_overlap_only(self):
+        """Overlap region identical, rest far apart => RMSE exactly 0."""
+        from rap_tpu.core.batch import PartBatch
+
+        N = 32
+        shared = np.random.default_rng(1).standard_normal((20, 3)).astype(np.float32)
+        far_a = shared[:6] + 100.0
+        far_b = shared[:6] - 100.0
+
+        def pad(x):
+            out = np.zeros((N, 3), np.float32)
+            out[: len(x)] = x
+            return out
+
+        src = np.concatenate([shared, far_a])
+        tgt = np.concatenate([shared, far_b])
+        mask = np.zeros((2, N), bool)
+        mask[0, : len(src)] = True
+        mask[1, : len(tgt)] = True
+        b = PartBatch(
+            points=jnp.asarray(np.stack([pad(src), pad(tgt)])),
+            points_gt=jnp.asarray(np.stack([pad(src), pad(tgt)])),
+            local_feats=jnp.zeros((2, N, 4)),
+            point_mask=jnp.asarray(mask),
+            part_valid=jnp.asarray([True, True]),
+            sample_of_part=jnp.asarray([0, 0], jnp.int32),
+            anchor_part=jnp.asarray([True, False]),
+            rotations_gt=jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
+            translations_gt=jnp.zeros((2, 3)),
+            scale=jnp.ones((1,)),
+            sample_valid=jnp.asarray([True]),
+        )
+        rmse, ratio, terr = M.correspondence_rmse_pairs(
+            b, b.rotations_gt, b.translations_gt
+        )
+        np.testing.assert_allclose(float(rmse[0]), 0.0, atol=1e-5)
+        np.testing.assert_allclose(float(ratio[0]), 20 / 26, atol=1e-6)
+
+
+class TestOverlap:
+    def test_overlapping_parts(self):
+        b = _batch(S=1)
+        # prediction where both parts coincide -> overlap ratio ~1 at all taus
+        pred = jnp.broadcast_to(b.points_gt[0:1], b.points_gt.shape)
+        ors = M.overlap_ratio(b, pred)
+        assert ors.shape == (3, 1)
+        assert float(ors[2, 0]) > 0.9
+
+    def test_distant_parts(self):
+        b = _batch(S=1)
+        pred = b.points_gt + jnp.arange(b.G)[:, None, None] * 100.0
+        ors = M.overlap_ratio(b, pred)
+        np.testing.assert_allclose(np.asarray(ors), 0.0, atol=1e-6)
+
+
+class TestEvaluatorAggregation:
+    def test_full_metric_dict_and_selection(self):
+        b = _batch(S=2)
+        ev = Evaluator(EvalConfig(rmse_eval_on=True, overlap_eval_on=True))
+        good = transform_points(b.rotations_gt, b.translations_gt, b.points)
+        good = jnp.where(b.point_mask[..., None], good, 0.0)
+        bad = good + 0.3
+        results = []
+        for pred in [bad, good]:
+            R, t = fit_transformations(b.points, pred, b.point_mask)
+            results.append(ev.compute_metrics(b, pred, R, t))
+        assert "chamfer_l2 (m)" in results[0]
+        assert "recall_at_15deg_0.3m (indoor_bufferx)" in results[0]
+        agg = ev.aggregate_generations(b, results)
+        assert "best_of_2" in agg and "rigidity_selected" in agg
+        # best-of-2 chamfer should equal the good generation's (lower)
+        np.testing.assert_allclose(
+            agg["best_of_2"]["object_chamfer"],
+            np.asarray(results[1]["object_chamfer"]),
+            atol=1e-5,
+        )
+        # rigidity selection: 'bad' pred (+const shift) is still rigid, so both
+        # gens have ~0 rigidity; just check shape/validity
+        assert agg["rigidity_selected_gen"].shape == (2,)
+
+    def test_meter_accumulation(self):
+        meter = MetricsMeter()
+        meter.add_metrics(
+            ["a", "b"],
+            {"m": np.asarray([1.0, 3.0])},
+            valid=np.asarray([True, True]),
+            num_parts=np.asarray([2, 4]),
+        )
+        meter.add_metrics(
+            "a", {"m": np.asarray([5.0])}, valid=np.asarray([True]),
+            num_parts=np.asarray([3]),
+        )
+        avg = meter.compute_average()
+        np.testing.assert_allclose(avg["a"]["m"], 3.0)
+        np.testing.assert_allclose(avg["b"]["m"], 3.0)
+        np.testing.assert_allclose(avg["overall"]["m"], 3.0)
+        assert meter.get_sample_counts() == {"a": 2, "b": 1}
+        assert meter.get_part_count_ranges()["a"] == (2, 3)
+
+    def test_meter_skips_inf_and_invalid(self):
+        meter = MetricsMeter()
+        meter.add_metrics(
+            ["a", "a"],
+            {"m": np.asarray([np.inf, 2.0])},
+            valid=np.asarray([True, True]),
+        )
+        meter.add_metrics(
+            "a", {"m": np.asarray([99.0])}, valid=np.asarray([False])
+        )
+        assert meter.compute_average()["a"]["m"] == 2.0
+
+
+class TestPlyIO:
+    def test_roundtrip(self, tmp_path):
+        from rap_tpu.utils import ply
+
+        rng = np.random.default_rng(0)
+        pts = rng.standard_normal((100, 3)).astype(np.float32)
+        nrm = rng.standard_normal((100, 3)).astype(np.float32)
+        col = rng.integers(0, 255, (100, 3)).astype(np.uint8)
+        for binary in [True, False]:
+            p = tmp_path / f"test_{binary}.ply"
+            ply.write_ply(p, pts, nrm, col, binary=binary)
+            data = ply.read_ply(p)
+            atol = 1e-6 if binary else 1e-4
+            np.testing.assert_allclose(data["points"], pts, atol=atol)
+            np.testing.assert_allclose(data["normals"], nrm, atol=atol)
+            np.testing.assert_array_equal(data["colors"], col)
+
+    def test_saves_artifacts(self, tmp_path):
+        b = _batch(S=1)
+        ev = Evaluator(
+            EvalConfig(
+                save_results=True,
+                save_pointcloud_parts=True,
+                output_dir=str(tmp_path / "res"),
+            )
+        )
+        pred = np.asarray(b.points_gt)
+        R, t = fit_transformations(b.points, b.points_gt, b.point_mask)
+        md = ev.compute_metrics(b, b.points_gt, R, t)
+        ev.save_sample_results(
+            b, pred, np.asarray(R), np.asarray(t),
+            {k: np.asarray(v) for k, v in md.items()},
+            sample_names=["pair_000"], dataset_name="demo",
+        )
+        d = tmp_path / "res" / "demo" / "pair_000" / "generation_0"
+        assert (d / "metrics.json").exists()
+        assert (d / "part0_transform.txt").exists()
+        assert (d / "part1_transform.txt").exists()
+        T = np.loadtxt(d / "part0_transform.txt")
+        assert T.shape == (4, 4)
+        np.testing.assert_allclose(T[3], [0, 0, 0, 1], atol=1e-9)
+        assert (d / "merged_pred.ply").exists()
