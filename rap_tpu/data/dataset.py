@@ -1,0 +1,389 @@
+"""Multi-part point-cloud dataset: HDF5 / PLY-folder storage + augmentation.
+
+Storage-format parity with /root/reference/rectified_point_flow/data/dataset.py
+so existing preprocessed datasets drop in unchanged:
+
+  - folder layout: `<root>/data_split/{split}[_random].txt` lists fragment
+    dirs; each `<root>/<frag>/` holds `*.ply` parts with optional
+    `features_<part>.npy` sidecars; optional `<root>/num_points/{split}.txt`
+    (dataset.py:462-553).
+  - HDF5 layout: `h5["data_split"][dataset][split]` holds fragment names;
+    `h5[<frag>][<part>]["vertices"|"features"]`; optional
+    `h5["num_points"][dataset][split]` (dataset.py:555-641). SWMR read-only
+    handles, reopened per worker thread.
+  - split fallback: requested split type (standard/random) falls back to the
+    other when missing/empty, consistently across splits (dataset.py:122-251).
+  - augmentation (`Sample.transform`, label contract of dataset.py:733-900):
+    center on the largest ("primary") part, global random rotation (train),
+    scale = 1.5 * max|coord| of the rotated primary part (x random factor),
+    per-part re-centering + independent random rotation + point shuffle;
+    anchor part keeps identity rotation and translation -gt_trans; invariant
+    `points @ R^T + t == points_gt` per part.
+
+TPU-first divergence: the output is per-part numpy arrays (a `Sample`), not a
+packed tensor — the packer (data/packer.py) turns lists of Samples into
+fixed-shape PartBatches. RNG is an explicit per-sample np.random.Generator
+(seeded from epoch/index) instead of global state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import logging
+import os
+from pathlib import Path
+
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+logger = logging.getLogger("rap_tpu.data")
+
+FEAT_DIM_DEFAULT = 32
+
+
+# --------------------------------------------------------------------------
+# Sample container + augmentation
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Sample:
+    """One multi-part sample after augmentation (all in scaled space)."""
+
+    name: str
+    dataset_name: str
+    index: int
+    points: list[np.ndarray]        # per part (Ni, 3) — condition (augmented)
+    points_gt: list[np.ndarray]     # per part (Ni, 3) — registered GT
+    features: list[np.ndarray]      # per part (Ni, F)
+    rotations: np.ndarray           # (P, 3, 3) — points @ R^T + t == points_gt
+    translations: np.ndarray        # (P, 3)
+    anchor_idx: int
+    scale: float
+    global_rotation: np.ndarray     # (3, 3)
+    global_translation: np.ndarray  # (3,)
+
+    @property
+    def num_parts(self) -> int:
+        return len(self.points)
+
+    @property
+    def total_points(self) -> int:
+        return sum(len(p) for p in self.points)
+
+    @property
+    def max_part_points(self) -> int:
+        return max(len(p) for p in self.points)
+
+
+def _random_rotation(rng: np.random.Generator) -> np.ndarray:
+    return Rotation.random(random_state=rng).as_matrix()
+
+
+def _random_yaw_rotation(
+    rng: np.random.Generator, roll_pitch_range: float
+) -> np.ndarray:
+    """Yaw U(-180,180) around z with roll/pitch perturbations (ref
+    transform.py:66-104): R = from_euler('zxy', [yaw, roll, pitch])."""
+    yaw = rng.uniform(-180.0, 180.0)
+    roll = rng.uniform(-roll_pitch_range, roll_pitch_range)
+    pitch = rng.uniform(-roll_pitch_range, roll_pitch_range)
+    return Rotation.from_euler(
+        "zxy", np.radians([yaw, roll, pitch])
+    ).as_matrix()
+
+
+def augment_sample(
+    name: str,
+    dataset_name: str,
+    index: int,
+    parts_gt: list[np.ndarray],
+    features: list[np.ndarray] | None,
+    rng: np.random.Generator,
+    train: bool,
+    yaw_augmentation: bool = False,
+    roll_pitch_range: float = 5.0,
+    random_scale_range: tuple[float, float] | None = None,
+    feat_dim: int = FEAT_DIM_DEFAULT,
+) -> Sample:
+    """Apply the scaling/rotation/centering/shuffle label contract."""
+    n_parts = len(parts_gt)
+    counts = np.array([len(p) for p in parts_gt])
+    primary = int(np.argmax(counts))
+    all_gt = np.concatenate(parts_gt).astype(np.float64)
+    tran_global = all_gt.mean(0)
+
+    # global frame: center on the primary part, rotate (train only)
+    primary_center = parts_gt[primary].mean(0)
+    if train:
+        R_fwd = (
+            _random_yaw_rotation(rng, roll_pitch_range)
+            if yaw_augmentation
+            else _random_rotation(rng)
+        )
+    else:
+        R_fwd = np.eye(3)
+    rot_global = R_fwd.T  # stored inverse, as in the reference
+
+    primary_rotated = (parts_gt[primary] - primary_center) @ R_fwd.T
+    scale = float(np.max(np.abs(primary_rotated))) * 1.5
+    if train and random_scale_range is not None:
+        scale *= rng.uniform(*random_scale_range)
+    scale = max(scale, 1e-12)
+
+    gt_parts = [
+        ((p - primary_center) @ R_fwd.T) / scale for p in parts_gt
+    ]
+    gt_trans = np.concatenate(gt_parts).mean(0)
+    gt_parts = [p - gt_trans for p in gt_parts]
+
+    out_pts: list[np.ndarray] = []
+    out_gt: list[np.ndarray] = []
+    out_feats: list[np.ndarray] = []
+    rots = np.zeros((n_parts, 3, 3), np.float32)
+    trans = np.zeros((n_parts, 3), np.float32)
+    for i in range(n_parts):
+        gt_i = gt_parts[i]
+        center = gt_i.mean(0)
+        if i == primary:
+            # anchor: identity rotation, translation -gt_trans; the condition
+            # cloud is the GT shifted back by gt_trans (ref dataset.py:857-867)
+            R_aug = np.eye(3)
+            cond = gt_i + gt_trans
+            rots[i] = np.eye(3)
+            trans[i] = -gt_trans
+        else:
+            R_part = _random_rotation(rng) if train else np.eye(3)
+            cond = (gt_i - center) @ R_part.T
+            # pose invariant cond @ R^T + t == gt:
+            # cond = (gt - c) @ R_part^T  =>  gt = cond @ R_part + c, so
+            # R^T = R_part => R = R_part^T, t = c.
+            rots[i] = np.asarray(R_part).T
+            trans[i] = center
+        order = rng.permutation(len(gt_i))
+        out_pts.append(cond[order].astype(np.float32))
+        out_gt.append(gt_i[order].astype(np.float32))
+        if features is not None and features[i] is not None:
+            out_feats.append(np.asarray(features[i])[order].astype(np.float32))
+        else:
+            out_feats.append(np.zeros((len(gt_i), feat_dim), np.float32))
+
+    return Sample(
+        name=name,
+        dataset_name=dataset_name,
+        index=index,
+        points=out_pts,
+        points_gt=out_gt,
+        features=out_feats,
+        rotations=rots,
+        translations=trans,
+        anchor_idx=primary,
+        scale=scale,
+        global_rotation=rot_global.astype(np.float32),
+        global_translation=tran_global.astype(np.float32),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dataset
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class DatasetConfig:
+    data_path: str = ""
+    dataset_name: str = "dataset"
+    split: str = "val"
+    min_parts: int = 2
+    max_parts: int = 64
+    min_points_per_part: int = 0
+    limit_val_samples: int = 0
+    use_random_split: bool = False
+    load_features: bool = True
+    feat_dim: int = FEAT_DIM_DEFAULT
+    yaw_augmentation: bool = False
+    roll_pitch_range: float = 5.0
+    random_scale_range: tuple[float, float] | None = None
+    overlap_threshold: float = 0.0
+    seed: int = 0
+
+
+class PointCloudDataset:
+    """Loads fragments from a PLY folder or an HDF5 file and augments them."""
+
+    def __init__(self, cfg: DatasetConfig):
+        self.cfg = cfg
+        self.data_path = cfg.data_path
+        self.use_folder = os.path.isdir(cfg.data_path)
+        self._h5 = None
+        self.effective_random = self._determine_split_type()
+        self.fragments, self.part_counts, self.precomputed_num_points = (
+            self._build_fragment_list()
+        )
+
+    # ---- split handling ----------------------------------------------------
+    def _split_file(self, split: str, random_split: bool) -> Path:
+        suffix = "_random" if random_split else ""
+        return Path(self.data_path) / "data_split" / f"{split}{suffix}.txt"
+
+    def _folder_split_available(self, random_split: bool) -> bool:
+        return all(
+            self._split_file(s, random_split).is_file()
+            and self._split_file(s, random_split).stat().st_size > 0
+            for s in ("train", "val")
+        )
+
+    def _h5_split_available(self, random_split: bool) -> bool:
+        h5 = self._get_h5()
+        ds = self.cfg.dataset_name
+        if "data_split" not in h5 or ds not in h5["data_split"]:
+            return False
+        suffix = "_random" if random_split else ""
+        return all(f"{s}{suffix}" in h5["data_split"][ds] for s in ("train", "val"))
+
+    def _determine_split_type(self) -> bool:
+        """True => use random splits; mirrors the bidirectional fallback."""
+        avail = (
+            self._folder_split_available
+            if self.use_folder
+            else self._h5_split_available
+        )
+        preferred = self.cfg.use_random_split
+        if avail(preferred):
+            return preferred
+        if avail(not preferred):
+            logger.info(
+                "%s splits unavailable for %s; falling back to %s",
+                "random" if preferred else "standard",
+                self.data_path,
+                "standard" if preferred else "random",
+            )
+            return not preferred
+        return False
+
+    # ---- fragment list -----------------------------------------------------
+    def _get_h5(self):
+        import h5py
+
+        if self._h5 is None:
+            self._h5 = h5py.File(self.data_path, "r", libver="latest", swmr=True)
+        return self._h5
+
+    def _build_fragment_list(self):
+        cfg = self.cfg
+        split_key = cfg.split + ("_random" if self.effective_random else "")
+        if self.use_folder:
+            sf = self._split_file(cfg.split, self.effective_random)
+            if not sf.is_file() or sf.stat().st_size == 0:
+                alt = self._split_file(cfg.split, not self.effective_random)
+                if alt.is_file() and alt.stat().st_size > 0:
+                    sf = alt
+                    split_key = cfg.split + (
+                        "" if self.effective_random else "_random"
+                    )
+                else:
+                    logger.error("no split file for %s in %s", cfg.split, self.data_path)
+                    return [], [], []
+            frags = [l.strip() for l in sf.read_text().splitlines() if l.strip()]
+            npf = Path(self.data_path) / "num_points" / f"{split_key}.txt"
+            if npf.is_file():
+                num_points = [int(l) for l in npf.read_text().split()]
+            else:
+                num_points = [0] * len(frags)
+            kept, counts, npts = [], [], []
+            for frag, npnt in zip(frags, num_points):
+                n = len(glob.glob(os.path.join(self.data_path, frag, "*.ply")))
+                if cfg.min_parts <= n <= cfg.max_parts:
+                    kept.append(frag)
+                    counts.append(n)
+                    npts.append(npnt)
+        else:
+            h5 = self._get_h5()
+            ds = cfg.dataset_name
+            try:
+                raw = h5["data_split"][ds][split_key]
+            except KeyError:
+                alt_key = cfg.split + ("" if self.effective_random else "_random")
+                raw = h5["data_split"][ds][alt_key]
+                split_key = alt_key
+            frags = [r.decode() if isinstance(r, bytes) else str(r) for r in raw[:]]
+            if "num_points" in h5 and ds in h5["num_points"] and split_key in h5["num_points"][ds]:
+                num_points = list(h5["num_points"][ds][split_key][:])
+            else:
+                num_points = [0] * len(frags)
+            kept, counts, npts = [], [], []
+            for frag, npnt in zip(frags, num_points):
+                try:
+                    n = len(h5[frag].keys())
+                except KeyError:
+                    continue
+                if cfg.min_parts <= n <= cfg.max_parts:
+                    kept.append(frag)
+                    counts.append(n)
+                    npts.append(int(npnt))
+
+        if (
+            cfg.limit_val_samples > 0
+            and len(kept) > cfg.limit_val_samples
+            and cfg.split.startswith("val")
+        ):
+            step = len(kept) // cfg.limit_val_samples
+            kept = kept[::step]
+            counts = counts[::step]
+            npts = npts[::step]
+        return kept, counts, npts
+
+    def __len__(self) -> int:
+        return len(self.fragments)
+
+    # ---- loading -------------------------------------------------------------
+    def _load_parts(self, frag: str):
+        from ..utils import ply as plyio
+
+        parts_gt, feats = [], []
+        if self.use_folder:
+            folder = os.path.join(self.data_path, frag)
+            for ply_path in sorted(glob.glob(os.path.join(folder, "*.ply"))):
+                data = plyio.read_ply(ply_path)
+                parts_gt.append(data["points"].astype(np.float64))
+                stem = os.path.splitext(os.path.basename(ply_path))[0]
+                fpath = os.path.join(folder, f"features_{stem}.npy")
+                feats.append(np.load(fpath) if os.path.exists(fpath) else None)
+        else:
+            group = self._get_h5()[frag]
+            for part in sorted(group.keys()):
+                sub = group[part]
+                parts_gt.append(np.asarray(sub["vertices"][:], np.float64))
+                feats.append(
+                    np.asarray(sub["features"][:]) if "features" in sub else None
+                )
+        if not self.cfg.load_features or any(f is None for f in feats):
+            feats = None
+        return parts_gt, feats
+
+    def get(self, index: int, epoch: int = 0) -> Sample:
+        frag = self.fragments[index]
+        parts_gt, feats = self._load_parts(frag)
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.cfg.seed, epoch, index])
+        )
+        return augment_sample(
+            name=frag,
+            dataset_name=self.cfg.dataset_name,
+            index=index,
+            parts_gt=parts_gt,
+            features=feats,
+            rng=rng,
+            train=self.cfg.split.startswith("train"),
+            yaw_augmentation=self.cfg.yaw_augmentation,
+            roll_pitch_range=self.cfg.roll_pitch_range,
+            random_scale_range=self.cfg.random_scale_range,
+            feat_dim=self.cfg.feat_dim,
+        )
+
+    def __getitem__(self, index: int) -> Sample:
+        return self.get(index)
+
+    def close(self):
+        if self._h5 is not None:
+            self._h5.close()
+            self._h5 = None

@@ -1,0 +1,236 @@
+"""Data pipeline tests: augmentation contract, storage formats, packing."""
+
+import numpy as np
+import pytest
+
+from rap_tpu.core.batch import validate
+from rap_tpu.data import (
+    BatchLoader,
+    DatasetConfig,
+    LoaderConfig,
+    PointCloudDataset,
+    pack_samples,
+)
+from rap_tpu.data.dataset import augment_sample
+from rap_tpu.data.packer import collate_to_part_batch, plan_batches
+from rap_tpu.utils import ply as plyio
+
+
+def _make_sample(rng, n_parts=3, train=True, **kw):
+    parts = [
+        rng.standard_normal((int(rng.integers(50, 200)), 3)) * 2.0
+        for _ in range(n_parts)
+    ]
+    feats = [rng.standard_normal((len(p), 8)).astype(np.float32) for p in parts]
+    return augment_sample(
+        "frag", "ds", 0, parts, feats, rng, train=train, feat_dim=8, **kw
+    )
+
+
+class TestAugmentation:
+    def test_inverse_transform_invariant(self):
+        """points @ R^T + t == points_gt (the reference's own sanity check,
+        dataset.py:908-933) — for train and eval modes."""
+        rng = np.random.default_rng(0)
+        for train in [True, False]:
+            s = _make_sample(rng, train=train)
+            for p in range(s.num_parts):
+                rec = s.points[p] @ s.rotations[p].T + s.translations[p]
+                np.testing.assert_allclose(rec, s.points_gt[p], atol=1e-5)
+
+    def test_anchor_is_largest_part_with_identity(self):
+        rng = np.random.default_rng(1)
+        s = _make_sample(rng)
+        counts = [len(p) for p in s.points]
+        assert s.anchor_idx == int(np.argmax(counts))
+        np.testing.assert_allclose(s.rotations[s.anchor_idx], np.eye(3), atol=1e-7)
+
+    def test_scale_normalizes_primary_extent(self):
+        """After scaling, the primary part extent is ~1/1.5."""
+        rng = np.random.default_rng(2)
+        s = _make_sample(rng, train=False)
+        prim_gt = s.points_gt[s.anchor_idx]
+        # un-center: in eval mode rot_global=I; extent of centered primary
+        centered = prim_gt - prim_gt.mean(0)
+        assert abs(np.abs(centered).max() - 1 / 1.5) < 0.05
+
+    def test_eval_mode_is_deterministic_identity_rotations(self):
+        rng = np.random.default_rng(3)
+        s = _make_sample(rng, train=False)
+        for p in range(s.num_parts):
+            np.testing.assert_allclose(s.rotations[p], np.eye(3), atol=1e-7)
+        np.testing.assert_allclose(s.global_rotation, np.eye(3), atol=1e-7)
+
+    def test_yaw_augmentation_limits_tilt(self):
+        rng = np.random.default_rng(4)
+        s = _make_sample(rng, train=True, yaw_augmentation=True, roll_pitch_range=0.0)
+        # pure yaw: global rotation keeps z axis fixed
+        Rg = s.global_rotation
+        np.testing.assert_allclose(Rg[2, 2], 1.0, atol=1e-6)
+
+
+def _write_folder_dataset(root, rng, frags=3, parts=2):
+    (root / "data_split").mkdir(parents=True)
+    names = []
+    for i in range(frags):
+        frag = f"scene_{i:03d}"
+        d = root / frag
+        d.mkdir()
+        for p in range(parts):
+            pts = rng.standard_normal((100 + 10 * p, 3)).astype(np.float32)
+            plyio.write_ply(d / f"part_{p}.ply", pts)
+            np.save(
+                d / f"features_part_{p}.npy",
+                rng.standard_normal((len(pts), 32)).astype(np.float32),
+            )
+        names.append(frag)
+    (root / "data_split" / "train.txt").write_text("\n".join(names[:2]) + "\n")
+    (root / "data_split" / "val.txt").write_text(names[2] + "\n")
+    return names
+
+
+class TestFolderDataset:
+    def test_load_and_split(self, tmp_path):
+        rng = np.random.default_rng(0)
+        _write_folder_dataset(tmp_path, rng)
+        ds = PointCloudDataset(
+            DatasetConfig(data_path=str(tmp_path), dataset_name="toy", split="train")
+        )
+        assert len(ds) == 2
+        s = ds.get(0)
+        assert s.num_parts == 2
+        assert s.features[0].shape[1] == 32
+        rec = s.points[1] @ s.rotations[1].T + s.translations[1]
+        np.testing.assert_allclose(rec, s.points_gt[1], atol=1e-5)
+
+    def test_random_split_fallback(self, tmp_path):
+        rng = np.random.default_rng(1)
+        _write_folder_dataset(tmp_path, rng)
+        # request random splits (absent) -> falls back to standard
+        ds = PointCloudDataset(
+            DatasetConfig(
+                data_path=str(tmp_path), split="val", use_random_split=True
+            )
+        )
+        assert not ds.effective_random
+        assert len(ds) == 1
+
+    def test_part_count_filter(self, tmp_path):
+        rng = np.random.default_rng(2)
+        _write_folder_dataset(tmp_path, rng, parts=2)
+        ds = PointCloudDataset(
+            DatasetConfig(data_path=str(tmp_path), split="train", min_parts=3)
+        )
+        assert len(ds) == 0
+
+
+class TestH5Dataset:
+    def test_h5_roundtrip(self, tmp_path):
+        import h5py
+
+        rng = np.random.default_rng(0)
+        path = tmp_path / "toy.hdf5"
+        with h5py.File(path, "w") as h5:
+            for i in range(3):
+                g = h5.create_group(f"scene_{i}")
+                for p in range(2):
+                    gp = g.create_group(f"part_{p}")
+                    gp["vertices"] = rng.standard_normal((80, 3)).astype(np.float32)
+                    gp["features"] = rng.standard_normal((80, 32)).astype(np.float32)
+            sp = h5.create_group("data_split").create_group("toy")
+            sp["train"] = np.array([b"scene_0", b"scene_1"])
+            sp["val"] = np.array([b"scene_2"])
+        ds = PointCloudDataset(
+            DatasetConfig(data_path=str(path), dataset_name="toy", split="val")
+        )
+        assert len(ds) == 1
+        s = ds.get(0)
+        assert s.num_parts == 2 and s.total_points == 160
+        ds.close()
+
+
+class TestPacker:
+    def test_plan_respects_budget_and_coverage(self):
+        rng = np.random.default_rng(0)
+        parts = [int(rng.integers(2, 6)) for _ in range(30)]
+        sizes = [int(rng.integers(100, 2000)) for _ in range(30)]
+        plans = plan_batches(parts, sizes, max_points_per_batch=50_000)
+        covered = sorted(i for p in plans for i in p.indices)
+        assert covered == list(range(30))
+        for p in plans:
+            assert len(p.indices) >= 1
+            assert p.S * p.P * p.N <= 50_000 or len(p.indices) == 1
+
+    def test_collate_regular_layout(self):
+        rng = np.random.default_rng(1)
+        samples = [_make_sample(rng, n_parts=2), _make_sample(rng, n_parts=3)]
+        batch, names = collate_to_part_batch(samples, N=256, P=4, S=2)
+        validate(batch)
+        assert batch.G == 8 and batch.N == 256 and batch.S == 2
+        assert names[0] == "frag"
+        # inverse-transform invariant survives collation
+        from rap_tpu.core.procrustes import transform_points
+        import jax.numpy as jnp
+
+        rec = transform_points(batch.rotations_gt, batch.translations_gt, batch.points)
+        err = jnp.abs(rec - batch.points_gt) * batch.point_mask[..., None]
+        assert float(err.max()) < 1e-4
+
+    def test_pack_samples_end_to_end(self):
+        rng = np.random.default_rng(2)
+        samples = [_make_sample(rng, n_parts=int(rng.integers(2, 5))) for _ in range(7)]
+        batches = pack_samples(samples, max_points_per_batch=20_000)
+        total = sum(
+            int(np.sum([s.total_points for s in samples]) == 0) for _ in [0]
+        )
+        got_names = [n for _, names in batches for n in names if not n.startswith("_pad")]
+        assert len(got_names) == 7
+        for b, _ in batches:
+            validate(b)
+
+
+class TestLoader:
+    def test_epoch_iteration(self, tmp_path):
+        rng = np.random.default_rng(0)
+        _write_folder_dataset(tmp_path, rng, frags=4)
+        (tmp_path / "data_split" / "train.txt").write_text(
+            "\n".join(f"scene_{i:03d}" for i in range(4)) + "\n"
+        )
+        ds = PointCloudDataset(
+            DatasetConfig(data_path=str(tmp_path), dataset_name="toy", split="train")
+        )
+        loader = BatchLoader([ds], LoaderConfig(max_points_per_batch=4096, shuffle=True))
+        seen = []
+        for batch, names, ds_name in loader.epoch(0):
+            validate(batch)
+            assert ds_name == "toy"
+            seen += [n for n in names if not n.startswith("_pad")]
+        assert sorted(seen) == sorted(f"scene_{i:03d}" for i in range(4))
+
+    def test_process_sharding_covers_all(self, tmp_path):
+        rng = np.random.default_rng(1)
+        _write_folder_dataset(tmp_path, rng, frags=5)
+        (tmp_path / "data_split" / "train.txt").write_text(
+            "\n".join(f"scene_{i:03d}" for i in range(5)) + "\n"
+        )
+        ds = PointCloudDataset(
+            DatasetConfig(data_path=str(tmp_path), dataset_name="toy", split="train")
+        )
+        all_names = set()
+        counts = []
+        for rank in range(2):
+            loader = BatchLoader(
+                [ds],
+                LoaderConfig(
+                    max_points_per_batch=512,
+                    process_index=rank,
+                    process_count=2,
+                ),
+            )
+            n = 0
+            for batch, names, _ in loader.epoch(0):
+                all_names.update(n_ for n_ in names if not n_.startswith("_pad"))
+                n += 1
+            counts.append(n)
+        assert counts[0] == counts[1]  # equalized batch counts
+        assert all_names == {f"scene_{i:03d}" for i in range(5)}
