@@ -1,0 +1,167 @@
+"""Batch evaluation entry point — the rap_tpu equivalent of reference sample.py.
+
+Usage:
+    python -m rap_tpu.apps.sample --config configs/rap_inference.yaml \
+        -o data.datasets='[{"data_path": "...", "dataset_name": "threedmatch"}]' \
+        -o pipeline.n_generations=3
+
+Runs the reference test protocol (sample.py + modeling.py test_step): per
+batch, N generations through the jitted ODE sampler, batched pose fitting,
+full metric suite, avg / best-of-N / rigidity-selected aggregation, rich
+tables, per-sample artifacts, and per-batch/per-generation timing with
+device sync (the reference's TimingCallback contract, sample.py:94-198 —
+CUDA synchronize becomes block_until_ready).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from functools import partial
+
+import jax
+import numpy as np
+
+from ..config import Config, load_config
+from ..data import BatchLoader, LoaderConfig, PointCloudDataset
+from ..eval import Evaluator, MetricsMeter
+from ..eval.meter import print_eval_table
+from ..models.dit import init_dit_params, param_count
+from ..registration import predict_poses, sample
+from ..train.checkpoint import load_torch_checkpoint, restore_checkpoint
+
+logger = logging.getLogger("rap_tpu.sample")
+
+
+def load_params(cfg: Config):
+    params = init_dit_params(jax.random.key(cfg.trainer.seed), cfg.model)
+    if cfg.checkpoint:
+        if cfg.checkpoint.endswith((".ckpt", ".pth", ".pt")):
+            logger.info("converting torch checkpoint %s", cfg.checkpoint)
+            params = load_torch_checkpoint(cfg.checkpoint, cfg.model.num_layers)
+        else:
+            logger.info("restoring orbax checkpoint %s", cfg.checkpoint)
+            restored = restore_checkpoint(cfg.checkpoint, {"params": params})
+            params = restored["params"]
+    else:
+        logger.warning("no checkpoint given — evaluating RANDOM weights")
+    return params
+
+
+def make_generate_fn(cfg: Config):
+    @partial(jax.jit, static_argnames=())
+    def generate(params, batch, key):
+        out = sample(
+            params,
+            cfg.pipeline,
+            batch,
+            key,
+            return_trajectory=True,
+        )
+        R, t = predict_poses(batch, out["points"])
+        return out, R, t
+
+    return generate
+
+
+def run_eval(cfg: Config, params=None) -> dict:
+    if params is None:
+        params = load_params(cfg)
+    logger.info("model %s: %.1fM params", cfg.model_name, param_count(params) / 1e6)
+    evaluator = Evaluator(cfg.eval)
+    meter = MetricsMeter()
+    generate = make_generate_fn(cfg)
+    key = jax.random.key(cfg.trainer.seed)
+
+    batch_times: list[float] = []
+    gen_times: list[float] = []
+    for ds_cfg in cfg.data.datasets:
+        ds = PointCloudDataset(ds_cfg)
+        loader = BatchLoader(
+            [ds],
+            LoaderConfig(
+                max_points_per_batch=cfg.data.max_points_per_batch,
+                shuffle=False,
+                prefetch=cfg.data.num_prefetch,
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
+            ),
+        )
+        for b_idx, (batch, names, ds_name) in enumerate(loader.epoch(0)):
+            t_batch0 = time.time()
+            gen_results, trajs = [], []
+            final = None
+            for g in range(cfg.pipeline.n_generations):
+                t_gen0 = time.time()
+                gkey = jax.random.fold_in(jax.random.fold_in(key, b_idx), g)
+                out, R, t = generate(params, batch, gkey)
+                md = evaluator.compute_metrics(batch, out["points"], R, t)
+                jax.block_until_ready(md)
+                gen_times.append(time.time() - t_gen0)
+                gen_results.append(md)
+                trajs.append(out["end_point_trajectory"])
+                final = (out, R, t)
+                if cfg.eval.save_results:
+                    evaluator.save_sample_results(
+                        batch,
+                        np.asarray(out["points"]),
+                        np.asarray(R),
+                        np.asarray(t),
+                        {k: np.asarray(v) for k, v in md.items()},
+                        sample_names=names,
+                        dataset_name=ds_name,
+                        generation_idx=g,
+                        trajectory=(
+                            np.asarray(out["end_point_trajectory"])
+                            if cfg.eval.save_merged_pointcloud_steps
+                            else None
+                        ),
+                    )
+            agg = evaluator.aggregate_generations(batch, gen_results, trajs)
+            valid = np.asarray(batch.sample_valid)
+            nparts = np.asarray(batch.part_valid).reshape(batch.S, -1).sum(1)
+            meter.add_metrics(ds_name, agg["avg"], valid, nparts)
+            for section in ("best_of_%d" % cfg.pipeline.n_generations, "rigidity_selected"):
+                if section in agg:
+                    meter.add_metrics(
+                        ds_name,
+                        {f"{section}/{k}": v for k, v in agg[section].items()},
+                        valid,
+                    )
+            batch_times.append(time.time() - t_batch0)
+        ds.close()
+
+    meter.reduce_across_hosts([d.dataset_name for d in cfg.data.datasets])
+    results = meter.compute_average()
+    print_eval_table(
+        {"metrics": results},
+        meter.get_sample_counts(),
+        meter.get_part_count_ranges(),
+    )
+    if batch_times:
+        logger.info(
+            "inference time/batch: %.3fs ± %.3fs | time/generation: %.3fs ± %.3fs",
+            np.mean(batch_times), np.std(batch_times),
+            np.mean(gen_times), np.std(gen_times),
+        )
+    return results
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default="configs/rap_inference.yaml")
+    ap.add_argument(
+        "-o", "--override", action="append", default=[], help="key.sub=value"
+    )
+    args = ap.parse_args(argv)
+    cfg = load_config(args.config, args.override)
+    if not cfg.data.datasets:
+        ap.error("no datasets configured (set data.datasets)")
+    run_eval(cfg)
+
+
+if __name__ == "__main__":
+    main()

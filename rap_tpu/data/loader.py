@@ -31,6 +31,7 @@ class LoaderConfig:
     process_index: int = 0
     process_count: int = 1
     drop_last: bool = False
+    s_multiple: int = 1   # pad each batch's sample count to a multiple (DP shards)
 
 
 class BatchLoader:
@@ -67,6 +68,7 @@ class BatchLoader:
                 self.cfg.max_points_per_batch,
                 shuffle=self.cfg.shuffle,
                 seed=self.cfg.seed + epoch,
+                s_multiple=self.cfg.s_multiple,
             )
             # map plan-local indices back to dataset indices
             for p in plans:
@@ -91,11 +93,12 @@ class BatchLoader:
     def _load_batch(self, d_idx: int, plan: BatchPlan, epoch: int):
         ds = self.datasets[d_idx]
         samples: list[Sample] = [ds.get(i, epoch=epoch) for i in plan.indices]
-        # actual sizes may exceed the estimate: grow N to fit (still bucketed)
+        # plan sizes are estimates (precomputed num_points or a default); the
+        # actual bucketed shape comes from the loaded data so padding is tight
         from .packer import N_BUCKETS, _bucket
 
         true_n = max(s.max_part_points for s in samples)
-        N = max(plan.N, _bucket(true_n, N_BUCKETS))
+        N = _bucket(true_n, N_BUCKETS)
         batch, names = collate_to_part_batch(samples, N, plan.P, plan.S)
         return batch, names, ds.cfg.dataset_name
 

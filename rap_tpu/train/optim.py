@@ -50,7 +50,10 @@ def newton_schulz_orthogonalize(m: jax.Array, steps: int = 5) -> jax.Array:
     a, b, c = _NS_COEFFS
     transpose = m.shape[-2] > m.shape[-1]
     x = jnp.swapaxes(m, -1, -2) if transpose else m
-    x = x.astype(jnp.bfloat16)
+    # bf16 iteration (as in the public impl) on TPU; CPU XLA lacks
+    # BF16xBF16->F32 dot support, so fall back to fp32 there
+    low = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    x = x.astype(low)
     norm = jnp.sqrt(
         jnp.sum(x.astype(jnp.float32) ** 2, axis=(-2, -1), keepdims=True)
     )
@@ -58,13 +61,13 @@ def newton_schulz_orthogonalize(m: jax.Array, steps: int = 5) -> jax.Array:
     for _ in range(steps):
         xxt = jnp.einsum(
             "...ij,...kj->...ik", x, x, preferred_element_type=jnp.float32
-        ).astype(jnp.bfloat16)
+        ).astype(low)
         bx = jnp.einsum(
             "...ij,...jk->...ik", xxt, x, preferred_element_type=jnp.float32
-        ).astype(jnp.bfloat16)
+        ).astype(low)
         cxx = jnp.einsum(
             "...ij,...jk->...ik", xxt, bx, preferred_element_type=jnp.float32
-        ).astype(jnp.bfloat16)
+        ).astype(low)
         x = a * x + b * bx + c * cxx
     x = x.astype(jnp.float32)
     return jnp.swapaxes(x, -1, -2) if transpose else x
