@@ -50,7 +50,7 @@ def load_params(cfg: Config):
     return params
 
 
-def make_generate_fn(cfg: Config):
+def make_generate_fn(cfg: Config, return_features: bool = False):
     @partial(jax.jit, static_argnames=())
     def generate(params, batch, key):
         out = sample(
@@ -59,6 +59,7 @@ def make_generate_fn(cfg: Config):
             batch,
             key,
             return_trajectory=True,
+            return_transformer_features=return_features,
         )
         R, t = predict_poses(batch, out["points"])
         return out, R, t
@@ -72,7 +73,12 @@ def run_eval(cfg: Config, params=None) -> dict:
     logger.info("model %s: %.1fM params", cfg.model_name, param_count(params) / 1e6)
     evaluator = Evaluator(cfg.eval)
     meter = MetricsMeter()
-    generate = make_generate_fn(cfg)
+    generate = make_generate_fn(cfg, return_features=cfg.visualize)
+    visualizer = None
+    if cfg.visualize:
+        from ..eval.visualizer import FlowVisualization
+
+        visualizer = FlowVisualization(cfg.visualizer)
     key = jax.random.key(cfg.trainer.seed)
 
     batch_times: list[float] = []
@@ -120,6 +126,22 @@ def run_eval(cfg: Config, params=None) -> dict:
                         ),
                     )
             agg = evaluator.aggregate_generations(batch, gen_results, trajs)
+            if visualizer is not None:
+                out, _, _ = final
+                visualizer.on_batch_end(
+                    batch,
+                    [np.asarray(out["points"])],
+                    [np.asarray(out["end_point_trajectory"])],
+                    transformer_features=(
+                        np.asarray(out["transformer_features"])
+                        if "transformer_features" in out
+                        else None
+                    ),
+                    metrics=agg["avg"],
+                    sample_names=names,
+                    dataset_name=ds_name,
+                    batch_idx=b_idx,
+                )
             valid = np.asarray(batch.sample_valid)
             nparts = np.asarray(batch.part_valid).reshape(batch.S, -1).sum(1)
             meter.add_metrics(ds_name, agg["avg"], valid, nparts)

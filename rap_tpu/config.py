@@ -17,6 +17,7 @@ import yaml
 
 from .data.dataset import DatasetConfig
 from .eval.evaluator import EvalConfig
+from .eval.visualizer import VisualizerConfig
 from .models.config import MODEL_ZOO, DiTConfig
 from .registration import RPFConfig
 from .train.optim import OptimizerConfig
@@ -55,6 +56,8 @@ class Config:
     optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
     trainer: TrainerConfig = dataclasses.field(default_factory=TrainerConfig)
     eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+    visualizer: VisualizerConfig = dataclasses.field(default_factory=VisualizerConfig)
+    visualize: bool = False         # render per-batch visualizations in eval
     checkpoint: str = ""            # orbax dir or torch .ckpt to load
     n_devices: int = 0              # 0 = all
 

