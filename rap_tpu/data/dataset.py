@@ -343,8 +343,9 @@ class PointCloudDataset:
         if self.use_folder:
             folder = os.path.join(self.data_path, frag)
             for ply_path in sorted(glob.glob(os.path.join(folder, "*.ply"))):
-                data = plyio.read_ply(ply_path)
-                parts_gt.append(data["points"].astype(np.float64))
+                parts_gt.append(
+                    plyio.read_ply_points(ply_path).astype(np.float64)
+                )
                 stem = os.path.splitext(os.path.basename(ply_path))[0]
                 fpath = os.path.join(folder, f"features_{stem}.npy")
                 feats.append(np.load(fpath) if os.path.exists(fpath) else None)

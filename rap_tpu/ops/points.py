@@ -48,6 +48,12 @@ def voxel_downsample(
     """Average points (and optional per-point attrs) per voxel."""
     if len(points) == 0:
         return points if attrs is None else (points, attrs)
+    if attrs is None:
+        from .. import native
+
+        fast = native.voxel_downsample(points, voxel_size)
+        if fast is not None:
+            return fast.astype(points.dtype, copy=False)
     keys = voxel_keys(points, voxel_size)
     uniq, inv, counts = np.unique(keys, return_inverse=True, return_counts=True)
     sums = np.zeros((uniq.size, 3), np.float64)
@@ -111,12 +117,18 @@ def farthest_point_sampling(
 
 
 def fps_numpy(points: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
-    """Host FPS for small clouds (exact, random start)."""
+    """Host FPS (exact, random start); native C++ core when built."""
     n = len(points)
     if n <= k:
         return np.arange(n)
+    start = int(rng.integers(n))
+    from .. import native
+
+    fast = native.fps(points, k, start)
+    if fast is not None:
+        return fast
     idxs = np.empty(k, np.int64)
-    idxs[0] = rng.integers(n)
+    idxs[0] = start
     d2 = np.sum((points - points[idxs[0]]) ** 2, axis=1)
     for i in range(1, k):
         idxs[i] = int(np.argmax(d2))

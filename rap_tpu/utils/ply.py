@@ -25,6 +25,16 @@ _PLY_TYPES = {
 }
 
 
+def read_ply_points(path) -> np.ndarray:
+    """(N,3) float32 vertices only — native C++ fast path when built."""
+    from .. import native
+
+    fast = native.read_ply_points(path)
+    if fast is not None:
+        return fast
+    return read_ply(path)["points"]
+
+
 def read_ply(path) -> dict[str, np.ndarray]:
     """Read vertex data. Returns dict with 'points' (N,3) f32 and optionally
     'normals' (N,3) f32 and 'colors' (N,3) u8."""
