@@ -42,9 +42,10 @@ from ..utils import ply as plyio
 
 logger = logging.getLogger("rap_tpu.demo")
 
-# optional camera-frame rotation (ref demo.py:60-63 COORDINATE_TRANSFORM)
+# optional camera-frame rotation for 7-scenes/bundlefusion/rgbd-scenes-style
+# inputs: permutation z->x, -x->y, -y->z (ref demo.py:60-63 COORDINATE_TRANSFORM)
 CAMERA_FRAME_ROTATION = np.array(
-    [[1.0, 0.0, 0.0], [0.0, -1.0, 0.0], [0.0, 0.0, -1.0]], np.float32
+    [[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]], np.float32
 )
 
 

@@ -93,6 +93,7 @@ def run_eval(cfg: Config, params=None) -> dict:
                 prefetch=cfg.data.num_prefetch,
                 process_index=jax.process_index(),
                 process_count=jax.process_count(),
+                shard_mode="stride",  # eval: whole batches per process
             ),
         )
         for b_idx, (batch, names, ds_name) in enumerate(loader.epoch(0)):
@@ -103,9 +104,13 @@ def run_eval(cfg: Config, params=None) -> dict:
                 t_gen0 = time.time()
                 gkey = jax.random.fold_in(jax.random.fold_in(key, b_idx), g)
                 out, R, t = generate(params, batch, gkey)
+                # timing contract: generation only (device-synced), metrics
+                # excluded — ref sample.py:140-160 syncs CUDA around the
+                # sampler, not around metric computation
+                jax.block_until_ready((out["points"], R, t))
+                gen_times.append(time.time() - t_gen0)
                 md = evaluator.compute_metrics(batch, out["points"], R, t)
                 jax.block_until_ready(md)
-                gen_times.append(time.time() - t_gen0)
                 gen_results.append(md)
                 trajs.append(out["end_point_trajectory"])
                 final = (out, R, t)
@@ -153,6 +158,7 @@ def run_eval(cfg: Config, params=None) -> dict:
                         valid,
                     )
             batch_times.append(time.time() - t_batch0)
+        logger.info("%s padding: %s", ds_cfg.dataset_name, loader.padding_stats.summary())
         ds.close()
 
     meter.reduce_across_hosts([d.dataset_name for d in cfg.data.datasets])
@@ -178,11 +184,19 @@ def main(argv=None):
     ap.add_argument(
         "-o", "--override", action="append", default=[], help="key.sub=value"
     )
+    ap.add_argument(
+        "--profile-dir", default="",
+        help="write a jax.profiler trace (tensorboard format) to this dir",
+    )
     args = ap.parse_args(argv)
     cfg = load_config(args.config, args.override)
     if not cfg.data.datasets:
         ap.error("no datasets configured (set data.datasets)")
-    run_eval(cfg)
+    if args.profile_dir:
+        with jax.profiler.trace(args.profile_dir):
+            run_eval(cfg)
+    else:
+        run_eval(cfg)
 
 
 if __name__ == "__main__":

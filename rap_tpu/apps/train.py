@@ -30,6 +30,7 @@ from ..data import BatchLoader, LoaderConfig, PointCloudDataset
 from ..eval import Evaluator, MetricsMeter
 from ..eval.meter import print_eval_table
 from ..models.dit import init_dit_params, param_count
+from ..parallel.distributed import initialize as distributed_initialize
 from ..parallel.mesh import make_mesh, shard_batch
 from ..registration import predict_poses, sample
 from ..train import TrainState, build_optimizer, make_train_step
@@ -79,6 +80,7 @@ def evaluate_validation(cfg: Config, params, val_datasets, epoch: int) -> dict:
                 shuffle=False,
                 process_index=jax.process_index(),
                 process_count=jax.process_count(),
+                shard_mode="stride",  # eval: whole batches per process
             ),
         )
         for b_idx, (batch, names, ds_name) in enumerate(loader.epoch(0)):
@@ -96,10 +98,16 @@ def evaluate_validation(cfg: Config, params, val_datasets, epoch: int) -> dict:
 
 
 def run_train(cfg: Config, max_steps: int | None = None) -> TrainState:
+    # multi-host: every process joins the same pjit program (no-op when the
+    # env declares a single process; TPU pods auto-detect)
+    distributed_initialize()
     devices = jax.devices()
     n_dev = cfg.n_devices or len(devices)
     mesh = make_mesh(n_dev) if n_dev > 1 else None
-    logger.info("training on %d device(s); mesh=%s", n_dev, mesh)
+    logger.info(
+        "training on %d device(s), process %d/%d; mesh=%s",
+        n_dev, jax.process_index(), jax.process_count(), mesh,
+    )
 
     train_datasets = [
         PointCloudDataset(d) for d in cfg.data.datasets if d.split.startswith("train")
@@ -155,7 +163,10 @@ def run_train(cfg: Config, max_steps: int | None = None) -> TrainState:
                 mlog.log(total_steps, metrics)
             if max_steps and total_steps >= max_steps:
                 return state
-        logger.info("epoch %d done in %.1fs", epoch, time.time() - t0)
+        logger.info(
+            "epoch %d done in %.1fs | padding: %s",
+            epoch, time.time() - t0, loader.padding_stats.summary(),
+        )
 
         if (epoch + 1) % cfg.trainer.val_every_n_epochs == 0 and val_datasets:
             results = evaluate_validation(cfg, state.params, val_datasets, epoch)
@@ -180,9 +191,17 @@ def main(argv=None):
     ap.add_argument("--config", default="configs/rap_train.yaml")
     ap.add_argument("-o", "--override", action="append", default=[])
     ap.add_argument("--max-steps", type=int, default=0)
+    ap.add_argument(
+        "--profile-dir", default="",
+        help="write a jax.profiler trace (tensorboard format) to this dir",
+    )
     args = ap.parse_args(argv)
     cfg = load_config(args.config, args.override)
-    run_train(cfg, max_steps=args.max_steps or None)
+    if args.profile_dir:
+        with jax.profiler.trace(args.profile_dir):
+            run_train(cfg, max_steps=args.max_steps or None)
+    else:
+        run_train(cfg, max_steps=args.max_steps or None)
 
 
 if __name__ == "__main__":

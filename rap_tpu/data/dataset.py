@@ -62,6 +62,10 @@ class Sample:
     scale: float
     global_rotation: np.ndarray     # (3, 3)
     global_translation: np.ndarray  # (3,)
+    # per-dataset overlap threshold, carried as sample metadata exactly like
+    # the reference's sample dict (ref dataset.py:656,671; never consumed by
+    # the released runtime — reserved for overlap-probability models)
+    overlap_threshold: float = 0.0
 
     @property
     def num_parts(self) -> int:
@@ -105,6 +109,7 @@ def augment_sample(
     roll_pitch_range: float = 5.0,
     random_scale_range: tuple[float, float] | None = None,
     feat_dim: int = FEAT_DIM_DEFAULT,
+    overlap_threshold: float = 0.0,
 ) -> Sample:
     """Apply the scaling/rotation/centering/shuffle label contract."""
     n_parts = len(parts_gt)
@@ -181,6 +186,7 @@ def augment_sample(
         scale=scale,
         global_rotation=rot_global.astype(np.float32),
         global_translation=tran_global.astype(np.float32),
+        overlap_threshold=overlap_threshold,
     )
 
 
@@ -359,6 +365,23 @@ class PointCloudDataset:
                 )
         if not self.cfg.load_features or any(f is None for f in feats):
             feats = None
+        # drop under-populated parts (ref dataset.py:307 min_points_per_part):
+        # tiny fragments destabilize Kabsch and the overlap metrics
+        if self.cfg.min_points_per_part > 0:
+            keep = [
+                i for i, p in enumerate(parts_gt)
+                if len(p) >= self.cfg.min_points_per_part
+            ]
+            if len(keep) < len(parts_gt):
+                if len(keep) < self.cfg.min_parts:
+                    logger.warning(
+                        "%s: only %d/%d parts have >= %d points; keeping all",
+                        frag, len(keep), len(parts_gt), self.cfg.min_points_per_part,
+                    )
+                else:
+                    parts_gt = [parts_gt[i] for i in keep]
+                    if feats is not None:
+                        feats = [feats[i] for i in keep]
         return parts_gt, feats
 
     def get(self, index: int, epoch: int = 0) -> Sample:
@@ -379,6 +402,7 @@ class PointCloudDataset:
             roll_pitch_range=self.cfg.roll_pitch_range,
             random_scale_range=self.cfg.random_scale_range,
             feat_dim=self.cfg.feat_dim,
+            overlap_threshold=self.cfg.overlap_threshold,
         )
 
     def __getitem__(self, index: int) -> Sample:

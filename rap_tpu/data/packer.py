@@ -107,11 +107,17 @@ def collate_to_part_batch(
     P: int,
     S: int | None = None,
     feat_dim: int | None = None,
+    sample_offset: int = 0,
 ) -> tuple[PartBatch, list[str]]:
     """Build a regular-layout PartBatch (numpy-backed) from Samples.
 
     Oversized parts are an error — the packer chooses N >= max part size;
     datasets enforce their own point budgets upstream (FPS preprocessing).
+
+    ``sample_offset`` shifts ``sample_of_part`` to GLOBAL sample-slot indices
+    when this collation builds one process's local shard of a multi-process
+    global batch (parallel/distributed.py): jitted gathers on sample_of_part
+    index the *global* per-sample arrays.
     """
     import jax.numpy as jnp
 
@@ -160,7 +166,9 @@ def collate_to_part_batch(
         local_feats=jnp.asarray(feats),
         point_mask=jnp.asarray(mask),
         part_valid=jnp.asarray(part_valid),
-        sample_of_part=jnp.repeat(jnp.arange(S, dtype=jnp.int32), P),
+        sample_of_part=jnp.repeat(
+            sample_offset + jnp.arange(S, dtype=jnp.int32), P
+        ),
         anchor_part=jnp.asarray(anchor),
         rotations_gt=jnp.asarray(rots),
         translations_gt=jnp.asarray(trans),

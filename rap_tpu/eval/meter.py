@@ -94,16 +94,27 @@ class MetricsMeter:
         from jax.experimental import multihost_utils
 
         keys = sorted({k for d in self._sums.values() for k in d})
-        vec = np.zeros((len(dataset_registry), len(keys), 2), np.float64)
+        # float64 sums cross the (x64-disabled) gather as (hi, lo) float32
+        # pairs — hi = f32(x), lo = f32(x - hi) — and counts as exact int32;
+        # summation happens in float64 on the host (reference gathers float64
+        # directly, logging.py:397-424)
+        sums = np.zeros((len(dataset_registry), len(keys)), np.float64)
+        counts = np.zeros((len(dataset_registry), len(keys)), np.int32)
         for i, ds in enumerate(dataset_registry):
             for j, k in enumerate(keys):
-                vec[i, j, 0] = self._sums[ds].get(k, 0.0)
-                vec[i, j, 1] = self._counts[ds].get(k, 0)
-        reduced = multihost_utils.process_allgather(vec.astype(np.float32)).sum(0)
+                sums[i, j] = self._sums[ds].get(k, 0.0)
+                counts[i, j] = self._counts[ds].get(k, 0)
+        hi = sums.astype(np.float32)
+        lo = (sums - hi.astype(np.float64)).astype(np.float32)
+        g_hi = np.asarray(multihost_utils.process_allgather(hi), np.float64)
+        g_lo = np.asarray(multihost_utils.process_allgather(lo), np.float64)
+        g_cnt = np.asarray(multihost_utils.process_allgather(counts), np.int64)
+        red_sum = (g_hi + g_lo).sum(0)
+        red_cnt = g_cnt.sum(0)
         for i, ds in enumerate(dataset_registry):
             for j, k in enumerate(keys):
-                self._sums[ds][k] = float(reduced[i, j, 0])
-                self._counts[ds][k] = int(reduced[i, j, 1])
+                self._sums[ds][k] = float(red_sum[i, j])
+                self._counts[ds][k] = int(red_cnt[i, j])
 
 
 def print_eval_table(

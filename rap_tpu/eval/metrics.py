@@ -336,6 +336,187 @@ def overlap_ratio(
     return jnp.stack(out)
 
 
+def _masked_nn(x, xm, y, ym, chunk: int = 2048):
+    """Nearest valid y row per x row: returns (dist (B,Tx), idx (B,Tx)).
+
+    Chunked over Tx; invalid y rows are never selected. Rows of x are NOT
+    masked here (caller applies xm).
+    """
+    B, Tx, _ = x.shape
+    pad = (-Tx) % chunk
+    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+    nch = xp.shape[1] // chunk
+    xc = xp.reshape(B, nch, chunk, 3).transpose(1, 0, 2, 3)
+    y2 = jnp.sum(y * y, axis=-1)
+
+    def body(_, xi):
+        d2 = (
+            jnp.sum(xi * xi, axis=-1)[..., None]
+            - 2.0 * jnp.einsum("sct,syt->scy", xi, y, precision=HIGH)
+            + y2[:, None, :]
+        )
+        d2 = jnp.where(ym[:, None, :], d2, INF)
+        return _, (jnp.min(d2, axis=-1), jnp.argmin(d2, axis=-1))
+
+    _, (mind2, idx) = jax.lax.scan(body, None, xc)
+    mind2 = mind2.transpose(1, 0, 2).reshape(B, -1)[:, :Tx]
+    idx = idx.transpose(1, 0, 2).reshape(B, -1)[:, :Tx]
+    return jnp.sqrt(jnp.maximum(mind2, 0.0)), idx
+
+
+def icp_point_to_point(
+    src: jax.Array,       # (B, N, 3)
+    src_mask: jax.Array,  # (B, N)
+    tgt: jax.Array,       # (B, M, 3)
+    tgt_mask: jax.Array,  # (B, M)
+    iters: int = 20,
+):
+    """Batched point-to-point ICP: returns (R, t) with src @ R^T + t ≈ tgt.
+
+    TPU-native replacement for pytorch3d ``iterative_closest_point`` (used by
+    ref metrics.py:50-90 align_anchor and :177-261 use_icp refinement): a
+    fixed-iteration ``lax.scan`` of masked NN + batched Kabsch instead of a
+    convergence loop — fully vmappable, no host sync. Empty clouds return
+    (I, 0).
+    """
+    from ..core.procrustes import kabsch_masked
+
+    src = src.astype(jnp.float32)
+    tgt = tgt.astype(jnp.float32)
+
+    def body(carry, _):
+        R, t = carry
+        cur = transform_points(R, t, src)
+        _, idx = _masked_nn(cur, src_mask, tgt, tgt_mask)
+        corr = jnp.take_along_axis(tgt, idx[..., None], axis=1)  # (B,N,3)
+        R, t = kabsch_masked(src, corr, src_mask)
+        return (R, t), None
+
+    B = src.shape[0]
+    R0 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
+    t0 = jnp.zeros((B, 3), jnp.float32)
+    (R, t), _ = jax.lax.scan(body, (R0, t0), None, length=iters)
+    return R, t
+
+
+def align_anchor(batch: PartBatch, pred: jax.Array, iters: int = 20) -> jax.Array:
+    """ICP-align each sample's predicted anchor part to its GT anchor part and
+    apply the recovered transform to the whole predicted sample
+    (ref metrics.py:50-90)."""
+    S = batch.S
+    P = batch.G // S
+    N = batch.N
+    anchor = _per_part_view(batch, batch.anchor_part)              # (S,P)
+    a_idx = jnp.argmax(anchor, axis=1)                             # (S,)
+    pred_p = pred.reshape(S, P, N, 3)
+    gt_p = batch.points_gt.reshape(S, P, N, 3)
+    mask_p = batch.point_mask.reshape(S, P, N)
+    take = lambda arr: jnp.take_along_axis(  # noqa: E731
+        arr, a_idx.reshape((S, 1) + (1,) * (arr.ndim - 2)), axis=1
+    ).squeeze(1)
+    src = take(pred_p)
+    tgt = take(gt_p)
+    m = take(mask_p)
+    R, t = icp_point_to_point(src, m, tgt, m, iters=iters)
+    aligned = transform_points(R[:, None], t[:, None], pred_p)     # (S,P,N,3)
+    return aligned.reshape(batch.G, N, 3)
+
+
+def transform_errors_icp(
+    batch: PartBatch,
+    rotations_pred: jax.Array,     # (G, 3, 3)
+    translations_pred: jax.Array,  # (G, 3)
+    iters: int = 20,
+):
+    """ICP-refined per-part errors (ref metrics.py:177-261 ``use_icp=True``):
+    for each non-anchor part, ICP the GT part onto the pose-transformed
+    condition part; the residual (delta R, delta t) IS the error."""
+    transformed = transform_points(
+        rotations_pred, translations_pred, batch.points
+    )  # (G, N, 3)
+    dR, dt = icp_point_to_point(
+        batch.points_gt, batch.point_mask, transformed, batch.point_mask,
+        iters=iters,
+    )
+    rot_err = _rot_angle_deg(_per_part_view(batch, dR))            # (S,P)
+    scale = batch.scale[:, None]
+    trans_err = jnp.linalg.norm(_per_part_view(batch, dt), axis=-1) * scale
+    valid = _per_part_view(batch, batch.part_valid)
+    anchor = _per_part_view(batch, batch.anchor_part)
+    m = (valid & ~anchor).astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    return (
+        jnp.sum(rot_err * m, axis=1) / n,
+        jnp.sum(trans_err * m, axis=1) / n,
+    )
+
+
+def part_chamfer_matrix(batch: PartBatch, pred: jax.Array) -> jax.Array:
+    """(S, P, P) pairwise part chamfer: cd[i, j] = CD(gt part i, pred part j)
+    in scaled space (pytorch3d convention: sum of the two mean-squared-
+    distance directions; ref compute_part_acc, metrics.py:121-152).
+    Pairs with an empty part get +inf.
+    """
+    S = batch.S
+    P = batch.G // S
+    N = batch.N
+    gt = batch.points_gt.reshape(S, P, N, 3)
+    pr = pred.reshape(S, P, N, 3)
+    mask = batch.point_mask.reshape(S, P, N)
+    cnt = jnp.maximum(jnp.sum(mask, axis=-1), 1.0)                 # (S,P)
+
+    def pair_cd(ij):
+        i, j = ij // P, ij % P
+        x = jax.lax.dynamic_index_in_dim(gt, i, axis=1, keepdims=False)
+        xm = jax.lax.dynamic_index_in_dim(mask, i, axis=1, keepdims=False)
+        y = jax.lax.dynamic_index_in_dim(pr, j, axis=1, keepdims=False)
+        ym = jax.lax.dynamic_index_in_dim(mask, j, axis=1, keepdims=False)
+        d_xy = _masked_min_dist2(x, xm, y, ym, chunk=1024)         # (S,N)
+        d_yx = _masked_min_dist2(y, ym, x, xm, chunk=1024)
+        ci = jax.lax.dynamic_index_in_dim(cnt, i, axis=1, keepdims=False)
+        cj = jax.lax.dynamic_index_in_dim(cnt, j, axis=1, keepdims=False)
+        cd = jnp.sum(d_xy, axis=1) / ci + jnp.sum(d_yx, axis=1) / cj
+        empty = (jnp.sum(xm, axis=1) == 0) | (jnp.sum(ym, axis=1) == 0)
+        return jnp.where(empty, INF, cd)                           # (S,)
+
+    cds = jax.lax.map(pair_cd, jnp.arange(P * P))                  # (P*P, S)
+    return cds.T.reshape(S, P, P)
+
+
+def part_accuracy(
+    batch: PartBatch,
+    pred: jax.Array,
+    threshold: float = 0.01,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Hungarian-matched part accuracy (ref metrics.py:92-163).
+
+    Returns (part_acc (S,), matched_ids (S, P)): the fraction of parts whose
+    best-assignment chamfer (scaled space) is under ``threshold``; matching by
+    scipy ``linear_sum_assignment`` on the binary over-threshold cost, exactly
+    like the reference (assignment over valid parts only). Device computes the
+    (S,P,P) chamfer matrix; the tiny assignment runs on host.
+    """
+    from scipy.optimize import linear_sum_assignment
+
+    S = batch.S
+    P = batch.G // S
+    cd = np.asarray(part_chamfer_matrix(batch, pred))              # (S,P,P)
+    valid = np.asarray(_per_part_view(batch, batch.part_valid))    # (S,P)
+    acc = np.zeros(S, np.float32)
+    matched = np.tile(np.arange(P, dtype=np.int64), (S, 1))
+    for s in range(S):
+        idx = np.flatnonzero(valid[s])
+        if len(idx) == 0:
+            continue
+        sub = cd[s][np.ix_(idx, idx)]
+        cost = (sub >= threshold).astype(np.float64)
+        rows, cols = linear_sum_assignment(cost)
+        ok = sub[rows, cols] < threshold
+        acc[s] = float(ok.sum()) / len(idx)
+        matched[s, idx[rows]] = idx[cols]
+    return acc, matched
+
+
 def recall_at(values: jax.Array, threshold: float) -> jax.Array:
     return (values <= threshold).astype(jnp.float32)
 

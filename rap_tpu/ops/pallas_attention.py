@@ -1,14 +1,26 @@
-"""Fused flash attention (Pallas/Mosaic TPU kernel) with key-validity masking.
+"""Fused flash attention (Pallas/Mosaic TPU kernels) with key-validity masking.
 
-The inference hot path: replaces flash-attn's varlen CUDA kernel
-(/root/reference/rectified_point_flow/flow_model/layer.py:106,123). The
+The compute hot path, forward AND backward: replaces flash-attn's varlen CUDA
+kernels (/root/reference/rectified_point_flow/flow_model/layer.py:106,123 —
+flash-attn provides both directions; training differentiates through it). The
 regular (S,P,N) layout turns varlen attention into *batched* attention with a
-key mask, so the kernel is a classic blocked online-softmax flash attention:
+key mask, so the kernels are classic blocked online-softmax flash attention:
 
+Forward:
   grid = (B*H, Tq/BQ, Tk/BK), kv innermost; fp32 running (m, l, acc) in VMEM
   scratch persisting across the kv dimension; bf16 QK^T and PV matmuls with
   fp32 accumulation on the MXU; optional tanh softcap; fully-masked query
-  rows emit exact zeros; fully-masked key blocks are skipped.
+  rows emit exact zeros; fully-masked key blocks are skipped. Also emits the
+  base-2 logsumexp per query row (residual for the backward).
+
+Backward (standard flash-attn recomputation, wrapped in jax.custom_vjp):
+  delta = rowsum(dO * O) computed in XLA; then two kernels that recompute
+  p = exp2(s2 - lse2) per tile:
+    dKV kernel, grid (B*H, Tk/BK, Tq/BQ) q-innermost:  dV += p^T dO,
+      dS = p*(dO V^T - delta), dK += (dS·ds/dz)^T Q
+    dQ kernel,  grid (B*H, Tq/BQ, Tk/BK) k-innermost:  dQ += (dS·ds/dz) K
+  With softcap c: s = c·tanh(a·z/c) so ds/dz = a·(1 - tanh^2); without,
+  ds/dz = a. Fully-masked rows carry lse=+BIG so recomputed p is exactly 0.
 
 Tuning notes (measured on v5e, T=8192 H=8 d=64):
   - exp2 with the log2(e) factor folded into the softmax scale instead of exp
@@ -30,11 +42,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LSE_EMPTY = 1e30  # lse sentinel for fully-masked rows: exp2(s - BIG) == 0
 LOG2E = math.log2(math.e)
 
 
-def _flash_kernel(
-    q_ref, k_ref, v_ref, mask_ref, out_ref, acc_ref, m_ref, l_ref,
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _flash_fwd_kernel(
+    q_ref, k_ref, v_ref, mask_ref, out_ref, lse_ref, acc_ref, m_ref, l_ref,
     *, scale: float, softcap: float, num_k_blocks: int,
 ):
     j = pl.program_id(2)
@@ -48,21 +69,7 @@ def _flash_kernel(
     mask = mask_ref[0, 0, :] > 0  # (BK,)
     all_valid = jnp.all(mask)
 
-    @pl.when(jnp.any(mask))
-    def _compute():
-        q = q_ref[0]  # (BQ, d) bf16
-        k = k_ref[0]  # (BK, d)
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        if softcap > 0.0:
-            logits = jnp.tanh(logits * (scale / softcap)) * (softcap * LOG2E)
-        else:
-            logits = logits * (scale * LOG2E)
-        # NOTE: `all_valid |` keeps this select on Mosaic's fast path (a bare
-        # broadcast-bool select costs ~2.5x kernel time).
-        logits = jnp.where(all_valid | mask[None, :], logits, NEG_INF)
-
+    def _accumulate(logits):
         m_prev = m_ref[:, :1]                                     # (BQ, 1)
         m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
         p = jnp.exp2(logits - m_new)                              # base-2 softmax
@@ -75,12 +82,277 @@ def _flash_kernel(
         )  # (BQ, d)
         acc_ref[:] = acc_ref[:] * corr + pv
 
+    def _logits():
+        q = q_ref[0]  # (BQ, d) bf16
+        k = k_ref[0]  # (BK, d)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if softcap > 0.0:
+            logits = jnp.tanh(logits * (scale / softcap)) * (softcap * LOG2E)
+        else:
+            logits = logits * (scale * LOG2E)
+        return logits
+
+    # Single compute branch: vector-derived pl.when predicates lower to
+    # PREDICATION on Mosaic (both sides execute), so splitting a fast
+    # fully-valid path from a masked path doubles the matmul work — measured
+    # 50 -> 23 TFLOP/s. Keep one branch; the `all_valid |` select is cheap.
+    @pl.when(jnp.any(mask))
+    def _compute():
+        # NOTE: `all_valid |` keeps this select on Mosaic's fast path (a bare
+        # broadcast-bool select costs ~2.5x kernel time).
+        _accumulate(jnp.where(all_valid | mask[None, :], _logits(), NEG_INF))
+
     @pl.when(j == num_k_blocks - 1)
     def _finalize():
         l = l_ref[:, :1]
         out = acc_ref[:] / jnp.maximum(l, 1e-30)
         out = jnp.where(l > 0.0, out, 0.0)
         out_ref[0] = out.astype(out_ref.dtype)
+        lse = m_ref[:, :1] + jnp.log2(jnp.maximum(l, 1e-30))
+        lse_ref[0, 0] = jnp.where(l > 0.0, lse, LSE_EMPTY)[:, 0]
+
+
+def _fwd_impl(qh, kh, vh, maski, scale, softcap, block_q, block_k, interpret):
+    """Head-major padded forward. qh/kh/vh: (BH, Tqp|Tkp, d); maski (B,1,Tkp).
+    Returns (out (BH,Tqp,d), lse2 (BH,Tqp) fp32)."""
+    BH, Tqp, d = qh.shape
+    Tkp = kh.shape[1]
+    B = maski.shape[0]
+    H = BH // B
+    nq, nk = Tqp // block_q, Tkp // block_k
+
+    grid = (BH, nq, nk)
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _flash_fwd_kernel, scale=scale, softcap=softcap, num_k_blocks=nk
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b // H, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            # (BH, 1, Tq): singleton middle dim keeps the (1, block_q) block
+            # Mosaic-legal (same trick as the mask input)
+            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Tqp, d), qh.dtype),
+            jax.ShapeDtypeStruct((BH, 1, Tqp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qh, kh, vh, maski)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# backward kernels
+# ---------------------------------------------------------------------------
+
+def _recompute_p_ds(q, k, mask, all_valid, lse_row, do, v, delta_row,
+                    scale, softcap):
+    """Shared tile math: recomputed softmax p (base-e values) and dz = raw-
+    logit gradient. Shapes: q (BQ,d), k (BK,d) -> (BQ,BK)."""
+    z = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if softcap > 0.0:
+        th = jnp.tanh(z * (scale / softcap))
+        s2 = th * (softcap * LOG2E)
+        dsdz = scale * (1.0 - th * th)
+    else:
+        s2 = z * (scale * LOG2E)
+        dsdz = scale
+    # `all_valid |` keeps the select on Mosaic's fast path; for fully-valid
+    # blocks the select folds to a no-op copy
+    s2 = jnp.where(all_valid | mask[None, :], s2, NEG_INF)
+    p = jnp.exp2(s2 - lse_row)                                    # (BQ, BK)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BQ, BK)
+    ds = p * (dp - delta_row)      # base-e softmax gradient wrt s
+    dz = ds * dsdz
+    return p, dz
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref, dk_acc, dv_acc,
+    *, scale: float, softcap: float, num_q_blocks: int,
+):
+    i = pl.program_id(2)  # q block (innermost)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    mask = mask_ref[0, 0, :] > 0
+    all_valid = jnp.all(mask)
+
+    @pl.when(jnp.any(mask))
+    def _compute():
+        q = q_ref[0]
+        do = do_ref[0].astype(jnp.float32)
+        lse_row = lse_ref[0, 0][:, None]      # (BQ, 1)
+        delta_row = delta_ref[0, 0][:, None]  # (BQ, 1)
+        p, dz = _recompute_p_ds(
+            q, k_ref[0], mask, all_valid, lse_row, do, v_ref[0], delta_row,
+            scale, softcap,
+        )
+        # dV += p^T dO ; dK += dz^T Q
+        dv_acc[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dk_acc[:] += jax.lax.dot_general(
+            dz, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(i == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dq_acc,
+    *, scale: float, softcap: float, num_k_blocks: int,
+):
+    j = pl.program_id(2)  # k block (innermost)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    mask = mask_ref[0, 0, :] > 0
+    all_valid = jnp.all(mask)
+
+    @pl.when(jnp.any(mask))
+    def _compute():
+        q = q_ref[0]
+        do = do_ref[0].astype(jnp.float32)
+        lse_row = lse_ref[0, 0][:, None]
+        delta_row = delta_ref[0, 0][:, None]
+        _, dz = _recompute_p_ds(
+            q, k_ref[0], mask, all_valid, lse_row, do, v_ref[0], delta_row,
+            scale, softcap,
+        )
+        dq_acc[:] += jax.lax.dot_general(
+            dz, k_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == num_k_blocks - 1)
+    def _finalize():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _bwd_impl(qh, kh, vh, maski, out, lse, doh, scale, softcap,
+              block_q, block_k, interpret):
+    BH, Tqp, d = qh.shape
+    Tkp = kh.shape[1]
+    B = maski.shape[0]
+    H = BH // B
+    nq, nk = Tqp // block_q, Tkp // block_k
+
+    # delta = rowsum(dO * O): tiny elementwise reduce, XLA fuses it fine
+    delta = jnp.sum(
+        doh.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )[:, None, :]  # (BH, 1, Tqp) — singleton middle dim for Mosaic blocks
+
+    common_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),   # q
+        pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),   # k
+        pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),   # v
+        pl.BlockSpec((1, 1, block_k), lambda b, j, i: (b // H, 0, j)),  # mask
+        pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),   # do
+        pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i)),   # lse
+        pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i)),   # delta
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel, scale=scale, softcap=softcap,
+            num_q_blocks=nq,
+        ),
+        grid=(BH, nk, nq),
+        in_specs=common_specs,
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Tkp, d), kh.dtype),
+            jax.ShapeDtypeStruct((BH, Tkp, d), vh.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qh, kh, vh, maski, doh, lse, delta)
+
+    dq_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),   # q
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),   # k
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),   # v
+        pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b // H, 0, j)),  # mask
+        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),   # do
+        pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),   # lse
+        pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),   # delta
+    ]
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel, scale=scale, softcap=softcap,
+            num_k_blocks=nk,
+        ),
+        grid=(BH, nq, nk),
+        in_specs=dq_specs,
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, Tqp, d), qh.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(qh, kh, vh, maski, doh, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp wrapper (head-major padded domain)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_hm(qh, kh, vh, maski, scale, softcap, block_q, block_k, interpret):
+    out, _ = _fwd_impl(qh, kh, vh, maski, scale, softcap, block_q, block_k, interpret)
+    return out
+
+
+def _flash_hm_fwd(qh, kh, vh, maski, scale, softcap, block_q, block_k, interpret):
+    out, lse = _fwd_impl(qh, kh, vh, maski, scale, softcap, block_q, block_k, interpret)
+    return out, (qh, kh, vh, maski, out, lse)
+
+
+def _flash_hm_bwd(scale, softcap, block_q, block_k, interpret, res, dout):
+    qh, kh, vh, maski, out, lse = res
+    dq, dk, dv = _bwd_impl(
+        qh, kh, vh, maski, out, lse, dout.astype(qh.dtype),
+        scale, softcap, block_q, block_k, interpret,
+    )
+    dmask = jnp.zeros(maski.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, dmask
+
+
+_flash_hm.defvjp(_flash_hm_fwd, _flash_hm_bwd)
 
 
 @functools.partial(
@@ -97,15 +369,17 @@ def flash_attention(
     block_k: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
-    """Masked flash attention; returns (B, Tq, H, d) in q.dtype."""
+    """Masked flash attention; returns (B, Tq, H, d) in q.dtype.
+    Differentiable (custom VJP, flash backward kernels)."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     B, Tq, H, d = q.shape
     Tk = k.shape[1]
-    block_q = min(block_q, max(Tq, 8))
-    block_k = min(block_k, max(Tk, 128))
+    # blocks stay multiples of 128 (lse layout: (1, block_q) min-tile)
+    block_q = min(block_q, _round_up(Tq, 128))
+    block_k = min(block_k, _round_up(Tk, 128))
 
-    # head-major layout for the kernel
+    # head-major layout for the kernels
     qh = q.transpose(0, 2, 1, 3).reshape(B * H, Tq, d)
     kh = k.transpose(0, 2, 1, 3).reshape(B * H, Tk, d)
     vh = v.transpose(0, 2, 1, 3).reshape(B * H, Tk, d)
@@ -122,30 +396,7 @@ def flash_attention(
         kh = jnp.pad(kh, ((0, 0), (0, pk), (0, 0)))
         vh = jnp.pad(vh, ((0, 0), (0, pk), (0, 0)))
         maski = jnp.pad(maski, ((0, 0), (0, 0), (0, pk)))
-    Tqp, Tkp = Tq + pq, Tk + pk
-    nq, nk = Tqp // block_q, Tkp // block_k
 
-    grid = (B * H, nq, nk)
-    out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, scale=scale, softcap=softcap, num_k_blocks=nk
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b // H, 0, j)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, Tqp, d), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-        ],
-        interpret=interpret,
-    )(qh, kh, vh, maski)
-
+    out = _flash_hm(qh, kh, vh, maski, scale, softcap, block_q, block_k, interpret)
     out = out[:, :Tq].reshape(B, H, Tq, d).transpose(0, 2, 1, 3)
     return out

@@ -1,1 +1,2 @@
-from .mesh import make_mesh, batch_sharding, replicate_sharding
+from .mesh import make_mesh, batch_sharding, replicate_sharding, shard_batch
+from .distributed import initialize, make_global_batch, process_slice

@@ -58,6 +58,9 @@ def _batch_struct():
 
 
 def shard_batch(batch: PartBatch, mesh: Mesh) -> PartBatch:
-    """Device-put a host batch with leading-axis sharding over the data axis."""
-    lead = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.tree.map(lambda x: jax.device_put(x, lead), batch)
+    """Put a host batch on the mesh with leading-axis sharding over the data
+    axis. Multi-process: ``batch`` is this process's local sample-axis slice
+    (see parallel/distributed.py for the contract)."""
+    from .distributed import make_global_batch
+
+    return make_global_batch(batch, mesh)

@@ -45,6 +45,91 @@ class TestChamfer:
         np.testing.assert_allclose(cd1, cd2, atol=1e-5)
 
 
+class TestICP:
+    def test_recovers_known_rigid_perturbation(self):
+        rng = np.random.default_rng(0)
+        pts = rng.standard_normal((1, 300, 3)).astype(np.float32)
+        R_true = Rotation.from_euler("zyx", [8, -5, 3], degrees=True).as_matrix()
+        t_true = np.array([0.05, -0.02, 0.03], np.float32)
+        tgt = pts @ R_true.T.astype(np.float32) + t_true
+        mask = np.ones((1, 300), bool)
+        R, t = M.icp_point_to_point(
+            jnp.asarray(pts), jnp.asarray(mask), jnp.asarray(tgt), jnp.asarray(mask)
+        )
+        np.testing.assert_allclose(np.asarray(R[0]), R_true, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(t[0]), t_true, atol=1e-3)
+
+    def test_empty_source_identity(self):
+        pts = jnp.zeros((1, 16, 3))
+        mask = jnp.zeros((1, 16), bool)
+        R, t = M.icp_point_to_point(pts, mask, pts + 1.0, jnp.ones((1, 16), bool))
+        np.testing.assert_allclose(np.asarray(R[0]), np.eye(3), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(t[0]), 0.0, atol=1e-6)
+
+    def test_align_anchor_fixes_global_offset(self):
+        b = _batch(S=1)
+        R_g = jnp.asarray(
+            Rotation.from_euler("z", 10, degrees=True).as_matrix(), jnp.float32
+        )
+        pred = jnp.einsum("ij,gnj->gni", R_g, b.points_gt) + jnp.asarray(
+            [0.1, 0.0, 0.0]
+        )
+        pred = jnp.where(b.point_mask[..., None], pred, 0.0)
+        aligned = M.align_anchor(b, pred, iters=30)
+        err = jnp.abs(
+            jnp.where(b.point_mask[..., None], aligned - b.points_gt, 0.0)
+        ).max()
+        assert float(err) < 5e-3
+
+    def test_icp_transform_errors_zero_for_gt_poses(self):
+        b = _batch(S=2)
+        re, te = M.transform_errors_icp(b, b.rotations_gt, b.translations_gt)
+        assert np.all(np.asarray(re) < 0.5)
+        assert np.all(np.asarray(te) < 5e-3)
+
+
+class TestPartAccuracy:
+    def test_perfect_prediction_gives_one(self):
+        b = _batch(S=2)
+        acc, matched = M.part_accuracy(b, b.points_gt, threshold=0.01)
+        np.testing.assert_allclose(acc, 1.0)
+        # identity matching for distinct random parts
+        np.testing.assert_array_equal(matched[:, :2], np.tile([0, 1], (2, 1)))
+
+    def test_destroyed_part_fails(self):
+        b = _batch(S=1)
+        pred = np.asarray(b.points_gt).copy()
+        pred[1] += 100.0  # part 1 nowhere near anything
+        acc, _ = M.part_accuracy(b, jnp.asarray(pred), threshold=0.01)
+        np.testing.assert_allclose(acc, [0.5])
+
+    def test_swapped_parts_still_match(self):
+        """Part interchangeability: swapping two identical-shape parts is a
+        success under Hungarian matching."""
+        rng = np.random.default_rng(1)
+        pts = rng.standard_normal((64, 3)).astype(np.float32)
+        from rap_tpu.data.packer import collate_to_part_batch
+        from rap_tpu.data.dataset import Sample
+
+        smp = Sample(
+            name="x", dataset_name="toy", index=0,
+            points=[pts, pts + 5.0], points_gt=[pts, pts + 5.0],
+            features=[np.zeros((64, 4), np.float32)] * 2,
+            rotations=np.tile(np.eye(3, dtype=np.float32), (2, 1, 1)),
+            translations=np.zeros((2, 3), np.float32),
+            anchor_idx=0, scale=1.0,
+            global_rotation=np.eye(3, dtype=np.float32),
+            global_translation=np.zeros(3, np.float32),
+        )
+        b, _ = collate_to_part_batch([smp], N=64, P=2)
+        swapped = jnp.asarray(
+            np.stack([np.asarray(b.points_gt)[1], np.asarray(b.points_gt)[0]])
+        )
+        acc, matched = M.part_accuracy(b, swapped, threshold=0.01)
+        np.testing.assert_allclose(acc, [1.0])
+        np.testing.assert_array_equal(matched[0], [1, 0])
+
+
 class TestTransformErrors:
     def test_zero_for_gt_poses(self):
         b = _batch()

@@ -245,3 +245,78 @@ class TestPallasAttention:
         z = flash_attention(q, k, v, jnp.zeros((B, T), bool), interpret=True,
                             block_q=128, block_k=128)
         np.testing.assert_allclose(np.asarray(z), 0.0, atol=1e-7)
+
+    def _grad_parity(self, softcap, T=260, seed=2):
+        """jax.grad through the Pallas custom VJP vs the dense reference."""
+        from rap_tpu.ops.pallas_attention import flash_attention
+
+        ks = jax.random.split(jax.random.key(seed), 5)
+        B, H, d = 2, 2, 64
+        q = jax.random.normal(ks[0], (B, T, H, d))
+        k = jax.random.normal(ks[1], (B, T, H, d))
+        v = jax.random.normal(ks[2], (B, T, H, d))
+        mask = jax.random.uniform(ks[3], (B, T)) > 0.3
+        w = jax.random.normal(ks[4], (B, T, H, d))  # non-trivial cotangent
+
+        def loss_pallas(q, k, v):
+            o = flash_attention(q, k, v, mask, softcap=softcap,
+                                interpret=True, block_q=128, block_k=128)
+            return jnp.sum(o * w)
+
+        def loss_dense(q, k, v):
+            o = batched_attention(q, k, v, mask, impl="dense", softcap=softcap)
+            return jnp.sum(o * w)
+
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+        gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gp, gd, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3,
+                err_msg=f"d{name} mismatch (softcap={softcap})",
+            )
+
+    def test_backward_parity_with_dense(self):
+        self._grad_parity(softcap=0.0)
+
+    def test_backward_parity_softcap(self):
+        self._grad_parity(softcap=4.0)
+
+    def test_backward_fully_masked_rows_zero_grads(self):
+        from rap_tpu.ops.pallas_attention import flash_attention
+
+        ks = jax.random.split(jax.random.key(3), 3)
+        B, T, H, d = 1, 128, 2, 64
+        q = jax.random.normal(ks[0], (B, T, H, d))
+        k = jax.random.normal(ks[1], (B, T, H, d))
+        v = jax.random.normal(ks[2], (B, T, H, d))
+        mask = jnp.zeros((B, T), bool)
+
+        def loss(q, k, v):
+            o = flash_attention(q, k, v, mask, interpret=True,
+                                block_q=128, block_k=128)
+            return jnp.sum(o**2)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        for a in g:
+            np.testing.assert_allclose(np.asarray(a), 0.0, atol=1e-7)
+
+    def test_grad_through_dit_pallas_path(self):
+        """Training-style jax.grad through dit_forward with impl forced to
+        pallas (interpret on CPU) — the round-1 confirmed crash scenario."""
+        import dataclasses
+
+        cfg = dataclasses.replace(CFG_TINY, attn_impl="pallas")
+        b = _tiny_batch()
+        params = init_dit_params(jax.random.key(0), cfg)
+        x = jax.random.normal(jax.random.key(1), b.points.shape)
+        t = jnp.asarray([0.5, 0.9])
+
+        def loss(params):
+            v = dit_forward(params, cfg, x, t, b, parts_per_sample=2)
+            return jnp.mean(v**2)
+
+        g = jax.grad(loss)(params)
+        flat = jax.tree.leaves(g)
+        assert all(np.isfinite(np.asarray(x_)).all() for x_ in flat)
+        total = sum(float(jnp.sum(jnp.abs(x_))) for x_ in flat)
+        assert total > 0.0

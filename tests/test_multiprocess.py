@@ -1,0 +1,66 @@
+"""Multi-process data parallelism: 2 processes x 4 CPU devices must produce
+bit-identical losses to 1 process x 8 devices on the same global batch.
+
+This is the test the reference never has (its DDP correctness is delegated to
+Lightning; SURVEY.md §2.4): here every process computes the same plan, loads
+its S-slice, and `make_global_batch` + pjit must reconstruct exactly the
+single-controller semantics.
+"""
+
+import json
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+WORKER = REPO / "tests" / "mp_worker.py"
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _run_worker(proc_id, n_proc, port, n_local):
+    return subprocess.Popen(
+        [sys.executable, str(WORKER), str(proc_id), str(n_proc), str(port), str(n_local)],
+        cwd=REPO,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+
+
+def _losses(stdout: str, stderr: str):
+    for line in stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])["losses"]
+    raise AssertionError(f"no RESULT line.\nstdout:\n{stdout}\nstderr:\n{stderr}")
+
+
+@pytest.mark.slow
+def test_two_process_matches_single_process():
+    port = _free_port()
+    # 2-process x 4-device run
+    procs = [_run_worker(i, 2, port, 4) for i in range(2)]
+    outs = [p.communicate(timeout=900) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{so}\n{se}"
+    l0 = _losses(*outs[0])
+    l1 = _losses(*outs[1])
+    # both controllers observe the same global loss
+    np.testing.assert_allclose(l0, l1, rtol=0, atol=0)
+
+    # single-process x 8-device reference
+    ref = _run_worker(0, 1, _free_port(), 8)
+    so, se = ref.communicate(timeout=900)
+    assert ref.returncode == 0, f"single-process worker failed:\n{so}\n{se}"
+    lref = _losses(so, se)
+    # cross-process collective reduction order differs slightly from the
+    # single-controller one — bitwise equality is not expected here
+    np.testing.assert_allclose(l0, lref, rtol=2e-4, atol=1e-5)
