@@ -129,6 +129,11 @@ def run_eval(cfg: Config, params=None) -> dict:
                             if cfg.eval.save_merged_pointcloud_steps
                             else None
                         ),
+                        midpoint_trajectory=(
+                            np.asarray(out["trajectory"])
+                            if cfg.eval.save_merged_pointcloud_steps
+                            else None
+                        ),
                     )
             agg = evaluator.aggregate_generations(batch, gen_results, trajs)
             if visualizer is not None:

@@ -54,6 +54,12 @@ class PartBatch(struct.PyTreeNode):
     # Per-sample
     scale: jax.Array           # (S,) f32 — normalization scale (meters per unit)
     sample_valid: jax.Array    # (S,) bool
+    # preprocessing global pose (ref dataset.py:411-448 sample dict): the
+    # rotation/centering applied to the whole scene before augmentation, in
+    # meters; consumed by the evaluator's global-transform artifacts
+    # (ref evaluator.py:372-383). None when the source doesn't provide it.
+    global_rotation: jax.Array | None = None     # (S, 3, 3) f32
+    global_translation: jax.Array | None = None  # (S, 3) f32
 
     # ---- static shape helpers -------------------------------------------------
     @property
@@ -198,6 +204,8 @@ def make_synthetic_batch(
         translations_gt=jnp.asarray(trans),
         scale=jnp.asarray(scale),
         sample_valid=jnp.asarray(sample_valid),
+        global_rotation=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (S, 3, 3)),
+        global_translation=jnp.zeros((S, 3), jnp.float32),
     )
 
 
@@ -255,6 +263,8 @@ def make_regular_synthetic_batch(
         translations_gt=scatter(b.translations_gt),
         scale=b.scale,
         sample_valid=b.sample_valid,
+        global_rotation=b.global_rotation,
+        global_translation=b.global_translation,
     )
 
 

@@ -137,6 +137,8 @@ def collate_to_part_batch(
     trans = np.zeros((G, 3), np.float32)
     scale = np.ones(S, np.float32)
     sample_valid = np.zeros(S, bool)
+    g_rot = np.tile(np.eye(3, dtype=np.float32), (S, 1, 1))
+    g_trans = np.zeros((S, 3), np.float32)
     names: list[str] = []
 
     for s, smp in enumerate(samples):
@@ -157,6 +159,8 @@ def collate_to_part_batch(
             anchor[g] = p == smp.anchor_idx
         scale[s] = smp.scale
         sample_valid[s] = True
+        g_rot[s] = smp.global_rotation
+        g_trans[s] = smp.global_translation
         names.append(smp.name)
     names += [f"_pad_{i}" for i in range(S - len(samples))]
 
@@ -174,6 +178,8 @@ def collate_to_part_batch(
         translations_gt=jnp.asarray(trans),
         scale=jnp.asarray(scale),
         sample_valid=jnp.asarray(sample_valid),
+        global_rotation=jnp.asarray(g_rot),
+        global_translation=jnp.asarray(g_trans),
     )
     return batch, names
 

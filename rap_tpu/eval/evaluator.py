@@ -183,15 +183,28 @@ class Evaluator:
         dataset_name: str = "dataset",
         generation_idx: int | str = 0,
         trajectory: np.ndarray | None = None,
+        midpoint_trajectory: np.ndarray | None = None,
     ) -> None:
-        """Write per-sample JSON + per-part transform .txt (+ optional PLYs).
+        """Write per-sample JSON + transform .txt files (+ optional PLY/PCDs).
 
-        Transform files follow the demo.py contract (ref evaluator.py:383-496
-        -> demo.py:1294-1338): `<name>/<generation_g>/part{p}_transform.txt`
-        holding a 4x4 row-major matrix in METRIC scale mapping the (centered)
-        input part to the registered scene.
+        Two transform flavors per part, both 4x4 row-major in METRIC scale
+        (ref evaluator.py:383-496 -> consumed by demo.py:1294-1338):
+
+          - ``part{p:02d}_transform.txt`` — RELATIVE-TO-GT: maps the GT-posed
+            part into the predicted pose, R_rel = R_pred @ R_gt^T,
+            t_rel = t_pred_m - t_gt_m @ R_rel^T; composed with the inverse
+            preprocessing global transform when available (ref :466-489).
+          - ``part{p:02d}_pose.txt`` — the raw predicted pose (condition part
+            -> registered scene), which is what our demo CLI applies.
+          - ``global_transform.txt`` — the preprocessing global 4x4.
+
+        ``trajectory`` (end-point x_0_hat) and ``midpoint_trajectory`` (x_t)
+        additionally save per-ODE-step merged clouds as part-colored
+        ``generation/{endpoint,midpoint}/step_k.pcd`` plus the merged input
+        cloud (ref evaluator.py:352-369, :744-825).
         """
         from ..utils import ply as plyio
+        from ..utils.render import part_ids_to_colors
 
         root = Path(self.cfg.output_dir)
         if self.cfg.folder_suffix:
@@ -205,7 +218,24 @@ class Evaluator:
         pred_sp = pred.reshape(S, P, N, 3)
         R_sp = rotations_pred.reshape(S, P, 3, 3)
         t_sp = translations_pred.reshape(S, P, 3)
+        Rg_sp = np.asarray(batch.rotations_gt).reshape(S, P, 3, 3)
+        tg_sp = np.asarray(batch.translations_gt).reshape(S, P, 3)
         sv = np.asarray(batch.sample_valid)
+        g_rot = (
+            np.asarray(batch.global_rotation)
+            if batch.global_rotation is not None else None
+        )
+        g_trans = (
+            np.asarray(batch.global_translation)
+            if batch.global_translation is not None else None
+        )
+
+        def _merged(parts_pts, parts_mask, sc):
+            pcs = [pp[mm] for pp, mm in zip(parts_pts, parts_mask)]
+            ids = np.concatenate(
+                [np.full(len(pc), i) for i, pc in enumerate(pcs)]
+            ) if pcs else np.zeros(0, int)
+            return np.concatenate(pcs, axis=0) * sc, ids
 
         for s in range(S):
             if not sv[s]:
@@ -220,20 +250,36 @@ class Evaluator:
                 }
                 payload["scale"] = float(scale[s])
                 (d / "metrics.json").write_text(json.dumps(payload, indent=2))
-            # per-part 4x4 transforms in metric scale
+
+            # global preprocessing transform + its inverse (for composition)
+            T_glob_inv = None
+            if g_rot is not None and g_trans is not None:
+                T_glob = np.eye(4)
+                T_glob[:3, :3] = g_rot[s]
+                T_glob[:3, 3] = g_trans[s]
+                np.savetxt(d / "global_transform.txt", T_glob, fmt="%.8f")
+                T_glob_inv = np.linalg.inv(T_glob)
+
             for p in range(P):
                 if not pv[s, p]:
                     continue
-                T = np.eye(4, dtype=np.float64)
+                # raw predicted pose (metric)
+                T = np.eye(4)
                 T[:3, :3] = R_sp[s, p]
                 T[:3, 3] = t_sp[s, p] * scale[s]
-                np.savetxt(d / f"part{p}_transform.txt", T, fmt="%.8f")
+                np.savetxt(d / f"part{p:02d}_pose.txt", T, fmt="%.8f")
+                # relative-to-GT flavor (ref :446-489)
+                R_rel = R_sp[s, p] @ Rg_sp[s, p].T
+                t_rel = t_sp[s, p] * scale[s] - (tg_sp[s, p] * scale[s]) @ R_rel.T
+                T_rel = np.eye(4)
+                T_rel[:3, :3] = R_rel
+                T_rel[:3, 3] = t_rel
+                if T_glob_inv is not None:
+                    T_rel = T_rel @ T_glob_inv
+                np.savetxt(d / f"part{p:02d}_transform.txt", T_rel, fmt="%.8f")
+
             # merged prediction cloud (metric scale)
-            pts = pred_sp[s][pv[s]]
-            msk = mask[s][pv[s]]
-            merged = np.concatenate(
-                [pp[mm] for pp, mm in zip(pts, msk)], axis=0
-            ) * scale[s]
+            merged, _ = _merged(pred_sp[s][pv[s]], mask[s][pv[s]], scale[s])
             plyio.write_ply(d / "merged_pred.ply", merged)
             if self.cfg.save_pointcloud_parts:
                 for p in range(P):
@@ -242,17 +288,35 @@ class Evaluator:
                             d / f"part{p}_pred.ply",
                             pred_sp[s, p][mask[s, p]] * scale[s],
                         )
-            if trajectory is not None and self.cfg.save_merged_pointcloud_steps:
-                steps = trajectory.shape[0]
-                gdir = d / "generation" / "endpoint"
+            if self.cfg.save_merged_pointcloud_steps:
+                gdir = d / "generation"
                 gdir.mkdir(parents=True, exist_ok=True)
-                traj_sp = trajectory.reshape(steps, S, P, N, 3)
-                for st in range(steps):
-                    pts_t = traj_sp[st, s][pv[s]]
-                    merged_t = np.concatenate(
-                        [pp[mm] for pp, mm in zip(pts_t, mask[s][pv[s]])], 0
-                    ) * scale[s]
-                    plyio.write_ply(gdir / f"step_{st}.ply", merged_t)
+                # merged INPUT cloud with part colors (ref :360-361)
+                cond_sp = np.asarray(batch.points).reshape(S, P, N, 3)
+                inp, ids = _merged(cond_sp[s][pv[s]], mask[s][pv[s]], 1.0)
+                plyio.write_pcd(
+                    gdir / "merged_input.pcd", inp, part_ids_to_colors(ids)
+                )
+                for traj, sub in (
+                    (trajectory, "endpoint"),
+                    (midpoint_trajectory, "midpoint"),
+                ):
+                    if traj is None:
+                        continue
+                    steps = traj.shape[0]
+                    tdir = gdir / sub
+                    tdir.mkdir(parents=True, exist_ok=True)
+                    traj_sp = traj.reshape(steps, S, P, N, 3)
+                    for st in range(steps):
+                        # canonical (scaled) frame, part-colored, like the ref
+                        pts_t, ids_t = _merged(
+                            traj_sp[st, s][pv[s]], mask[s][pv[s]], 1.0
+                        )
+                        plyio.write_pcd(
+                            tdir / f"step_{st}.pcd",
+                            pts_t,
+                            part_ids_to_colors(ids_t),
+                        )
 
 
 def trajectory_rigidity_rmse(batch: PartBatch, trajectory: jax.Array) -> jax.Array:

@@ -7,7 +7,7 @@ regular (S,P,N) layout turns varlen attention into *batched* attention with a
 key mask, so the kernels are classic blocked online-softmax flash attention:
 
 Forward:
-  grid = (B*H, Tq/BQ, Tk/BK), kv innermost; fp32 running (m, l, acc) in VMEM
+  grid = (B*H, Tq/BQ, Tk/BK), kv innermost; fp32 running (m, acc, l) in VMEM
   scratch persisting across the kv dimension; bf16 QK^T and PV matmuls with
   fp32 accumulation on the MXU; optional tanh softcap; fully-masked query
   rows emit exact zeros; fully-masked key blocks are skipped. Also emits the
@@ -19,16 +19,27 @@ Backward (standard flash-attn recomputation, wrapped in jax.custom_vjp):
     dKV kernel, grid (B*H, Tk/BK, Tq/BQ) q-innermost:  dV += p^T dO,
       dS = p*(dO V^T - delta), dK += (dS·ds/dz)^T Q
     dQ kernel,  grid (B*H, Tq/BQ, Tk/BK) k-innermost:  dQ += (dS·ds/dz) K
-  With softcap c: s = c·tanh(a·z/c) so ds/dz = a·(1 - tanh^2); without,
-  ds/dz = a. Fully-masked rows carry lse=+BIG so recomputed p is exactly 0.
+  Fully-masked rows carry lse=+BIG so recomputed p is exactly 0.
 
-Tuning notes (measured on v5e, T=8192 H=8 d=64):
-  - exp2 with the log2(e) factor folded into the softmax scale instead of exp
-    (the VPU has native exp2) and expressing the key mask as
-    ``where(all_valid | mask, ...)`` — a Mosaic-friendly select — takes the
-    kernel from ~20 to ~50 TFLOP/s (25% of peak; the ceiling is VPU softmax
-    work at head_dim 64, which halves MXU utilization).
-  - block sizes (512, 1024) are the sweet spot; (256..1024)^2 all within 10%.
+The kernel is VPU-bound at head_dim 64 (exp2 + select + reductions per logit
+element vs a half-utilized 128-wide MXU), so every per-element VPU op counts.
+Measured-on-v5e design notes (T=8192 H=8 d=64 full-valid mask):
+  - exp2 with the log2(e) factor pre-folded INTO Q outside the kernel (the
+    VPU has native exp2; the per-element scale multiply disappears — q is
+    scaled once over T*d elements instead of T*T).
+  - the softmax denominator l rides the PV matmul: V is augmented with a
+    ones column outside the kernel, so rowsum(p) comes out of the MXU for
+    free instead of a VPU lane reduction.
+  - `where(all_valid | mask, ...)` keeps the key-mask select on Mosaic's
+    fast path (a bare broadcast-bool select costs ~2.5x kernel time).
+  - vector-derived pl.when predicates lower to PREDICATION (both sides
+    execute): never split fast/masked compute branches — measured 2x slower.
+  - block sizes (1024, 2048) measure best at 63 TFLOP/s amortized (the
+    stock jax.experimental flash/splash kernels measure 24/56-62 on the same
+    shape); (512..2048)^2 within ~15%; (2048, 2048) fails to compile (VMEM).
+  - IMPORTANT measurement note: single-call timings through the remote-TPU
+    tunnel include a ~25 ms host round trip — always amortize over a
+    lax.scan of >=20 kernel applications when tuning.
 """
 
 from __future__ import annotations
@@ -44,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 LSE_EMPTY = 1e30  # lse sentinel for fully-masked rows: exp2(s - BIG) == 0
 LOG2E = math.log2(math.e)
+LN2 = math.log(2.0)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -53,10 +65,14 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
+# Domain convention: Q arrives PRE-SCALED (see flash_attention wrapper) so the
+# raw QK^T product is already the base-2 logit s2:
+#   softcap == 0:  q' = q * scale * log2(e)      ->  s2 = q'·k
+#   softcap  > 0:  q' = q * scale / softcap      ->  s2 = softcap*log2e*tanh(q'·k)
 
 def _flash_fwd_kernel(
-    q_ref, k_ref, v_ref, mask_ref, out_ref, lse_ref, acc_ref, m_ref, l_ref,
-    *, scale: float, softcap: float, num_k_blocks: int,
+    q_ref, k_ref, va_ref, mask_ref, out_ref, lse_ref, acc_ref, m_ref, l_ref,
+    *, softcap: float, num_k_blocks: int, d: int,
 ):
     j = pl.program_id(2)
 
@@ -69,40 +85,29 @@ def _flash_fwd_kernel(
     mask = mask_ref[0, 0, :] > 0  # (BK,)
     all_valid = jnp.all(mask)
 
-    def _accumulate(logits):
-        m_prev = m_ref[:, :1]                                     # (BQ, 1)
-        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
-        p = jnp.exp2(logits - m_new)                              # base-2 softmax
-        corr = jnp.exp2(m_prev - m_new)
-        l_ref[:, :1] = l_ref[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
-        m_ref[:, :1] = m_new
-        pv = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (BQ, d)
-        acc_ref[:] = acc_ref[:] * corr + pv
-
-    def _logits():
-        q = q_ref[0]  # (BQ, d) bf16
+    @pl.when(jnp.any(mask))
+    def _compute():
+        q = q_ref[0]  # (BQ, d) bf16, pre-scaled
         k = k_ref[0]  # (BK, d)
-        logits = jax.lax.dot_general(
+        s2 = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         if softcap > 0.0:
-            logits = jnp.tanh(logits * (scale / softcap)) * (softcap * LOG2E)
-        else:
-            logits = logits * (scale * LOG2E)
-        return logits
+            s2 = jnp.tanh(s2) * (softcap * LOG2E)
+        s2 = jnp.where(all_valid | mask[None, :], s2, NEG_INF)
 
-    # Single compute branch: vector-derived pl.when predicates lower to
-    # PREDICATION on Mosaic (both sides execute), so splitting a fast
-    # fully-valid path from a masked path doubles the matmul work — measured
-    # 50 -> 23 TFLOP/s. Keep one branch; the `all_valid |` select is cheap.
-    @pl.when(jnp.any(mask))
-    def _compute():
-        # NOTE: `all_valid |` keeps this select on Mosaic's fast path (a bare
-        # broadcast-bool select costs ~2.5x kernel time).
-        _accumulate(jnp.where(all_valid | mask[None, :], _logits(), NEG_INF))
+        m_prev = m_ref[:, :1]                                     # (BQ, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s2, axis=-1, keepdims=True))
+        p = jnp.exp2(s2 - m_new)                                  # base-2 softmax
+        corr = jnp.exp2(m_prev - m_new)
+        m_ref[:, :1] = m_new
+        # PV with ones-augmented V: pv[:, :d] = p @ v, pv[:, d] = rowsum(p)
+        pv = jax.lax.dot_general(
+            p.astype(va_ref.dtype), va_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BQ, d+1)
+        acc_ref[:] = acc_ref[:] * corr + pv[:, :d]
+        l_ref[:, :1] = l_ref[:, :1] * corr + pv[:, d:d + 1]
 
     @pl.when(j == num_k_blocks - 1)
     def _finalize():
@@ -114,25 +119,28 @@ def _flash_fwd_kernel(
         lse_ref[0, 0] = jnp.where(l > 0.0, lse, LSE_EMPTY)[:, 0]
 
 
-def _fwd_impl(qh, kh, vh, maski, scale, softcap, block_q, block_k, interpret):
-    """Head-major padded forward. qh/kh/vh: (BH, Tqp|Tkp, d); maski (B,1,Tkp).
-    Returns (out (BH,Tqp,d), lse2 (BH,Tqp) fp32)."""
+def _fwd_impl(qh, kh, vh, maski, softcap, block_q, block_k, interpret):
+    """Head-major padded forward. qh (pre-scaled)/kh/vh: (BH, T, d);
+    maski (B,1,Tkp). Returns (out (BH,Tqp,d), lse2 (BH,1,Tqp) fp32)."""
     BH, Tqp, d = qh.shape
     Tkp = kh.shape[1]
     B = maski.shape[0]
     H = BH // B
     nq, nk = Tqp // block_q, Tkp // block_k
 
+    # ones-augmented V: the PV matmul then emits rowsum(p) as column d
+    vha = jnp.pad(vh, ((0, 0), (0, 0), (0, 1)), constant_values=1.0)
+
     grid = (BH, nq, nk)
     out, lse = pl.pallas_call(
         functools.partial(
-            _flash_fwd_kernel, scale=scale, softcap=softcap, num_k_blocks=nk
+            _flash_fwd_kernel, softcap=softcap, num_k_blocks=nk, d=d
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d + 1), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b // H, 0, j)),
         ],
         out_specs=[
@@ -151,7 +159,7 @@ def _fwd_impl(qh, kh, vh, maski, scale, softcap, block_q, block_k, interpret):
             pltpu.VMEM((block_q, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(qh, kh, vh, maski)
+    )(qh, kh, vha, maski)
     return out, lse
 
 
@@ -159,28 +167,32 @@ def _fwd_impl(qh, kh, vh, maski, scale, softcap, block_q, block_k, interpret):
 # backward kernels
 # ---------------------------------------------------------------------------
 
-def _recompute_p_ds(q, k, mask, all_valid, lse_row, do, v, delta_row,
-                    scale, softcap):
-    """Shared tile math: recomputed softmax p (base-e values) and dz = raw-
-    logit gradient. Shapes: q (BQ,d), k (BK,d) -> (BQ,BK)."""
+def _recompute_p_ds(q, k, mask, all_valid, lse_row, do, v, delta_row, softcap):
+    """Shared tile math on pre-scaled q: recomputed softmax p and dz' = the
+    gradient wrt the pre-scaled logit q'·k. Shapes: q (BQ,d), k (BK,d).
+
+    No-softcap: s2 = z', dz' = ln2 · p (dp - delta)  [the wrapper's q-scaling
+    op chains the remaining scale factor via ordinary autodiff].
+    Softcap c:  s2 = c·log2e·tanh(z'), s_e = c·tanh(z'),
+                dz' = c·(1 - tanh^2) · p (dp - delta).
+    """
     z = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     if softcap > 0.0:
-        th = jnp.tanh(z * (scale / softcap))
+        th = jnp.tanh(z)
         s2 = th * (softcap * LOG2E)
-        dsdz = scale * (1.0 - th * th)
+        dsdz = softcap * (1.0 - th * th)
     else:
-        s2 = z * (scale * LOG2E)
-        dsdz = scale
-    # `all_valid |` keeps the select on Mosaic's fast path; for fully-valid
-    # blocks the select folds to a no-op copy
+        s2 = z
+        dsdz = LN2
+    # `all_valid |` keeps the select on Mosaic's fast path
     s2 = jnp.where(all_valid | mask[None, :], s2, NEG_INF)
     p = jnp.exp2(s2 - lse_row)                                    # (BQ, BK)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (BQ, BK)
-    ds = p * (dp - delta_row)      # base-e softmax gradient wrt s
+    ds = p * (dp - delta_row)      # base-e softmax gradient wrt s_e
     dz = ds * dsdz
     return p, dz
 
@@ -188,7 +200,7 @@ def _recompute_p_ds(q, k, mask, all_valid, lse_row, do, v, delta_row,
 def _flash_bwd_dkv_kernel(
     q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref, dk_acc, dv_acc,
-    *, scale: float, softcap: float, num_q_blocks: int,
+    *, softcap: float, num_q_blocks: int,
 ):
     i = pl.program_id(2)  # q block (innermost)
 
@@ -208,7 +220,7 @@ def _flash_bwd_dkv_kernel(
         delta_row = delta_ref[0, 0][:, None]  # (BQ, 1)
         p, dz = _recompute_p_ds(
             q, k_ref[0], mask, all_valid, lse_row, do, v_ref[0], delta_row,
-            scale, softcap,
+            softcap,
         )
         # dV += p^T dO ; dK += dz^T Q
         dv_acc[:] += jax.lax.dot_general(
@@ -228,7 +240,7 @@ def _flash_bwd_dkv_kernel(
 def _flash_bwd_dq_kernel(
     q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
     dq_ref, dq_acc,
-    *, scale: float, softcap: float, num_k_blocks: int,
+    *, softcap: float, num_k_blocks: int,
 ):
     j = pl.program_id(2)  # k block (innermost)
 
@@ -247,7 +259,7 @@ def _flash_bwd_dq_kernel(
         delta_row = delta_ref[0, 0][:, None]
         _, dz = _recompute_p_ds(
             q, k_ref[0], mask, all_valid, lse_row, do, v_ref[0], delta_row,
-            scale, softcap,
+            softcap,
         )
         dq_acc[:] += jax.lax.dot_general(
             dz, k_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
@@ -259,7 +271,7 @@ def _flash_bwd_dq_kernel(
         dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
 
 
-def _bwd_impl(qh, kh, vh, maski, out, lse, doh, scale, softcap,
+def _bwd_impl(qh, kh, vh, maski, out, lse, doh, softcap,
               block_q, block_k, interpret):
     BH, Tqp, d = qh.shape
     Tkp = kh.shape[1]
@@ -283,8 +295,7 @@ def _bwd_impl(qh, kh, vh, maski, out, lse, doh, scale, softcap,
     ]
     dk, dv = pl.pallas_call(
         functools.partial(
-            _flash_bwd_dkv_kernel, scale=scale, softcap=softcap,
-            num_q_blocks=nq,
+            _flash_bwd_dkv_kernel, softcap=softcap, num_q_blocks=nq,
         ),
         grid=(BH, nk, nq),
         in_specs=common_specs,
@@ -314,8 +325,7 @@ def _bwd_impl(qh, kh, vh, maski, out, lse, doh, scale, softcap,
     ]
     dq = pl.pallas_call(
         functools.partial(
-            _flash_bwd_dq_kernel, scale=scale, softcap=softcap,
-            num_k_blocks=nk,
+            _flash_bwd_dq_kernel, softcap=softcap, num_k_blocks=nk,
         ),
         grid=(BH, nq, nk),
         in_specs=dq_specs,
@@ -328,25 +338,25 @@ def _bwd_impl(qh, kh, vh, maski, out, lse, doh, scale, softcap,
 
 
 # ---------------------------------------------------------------------------
-# custom-vjp wrapper (head-major padded domain)
+# custom-vjp wrapper (head-major padded pre-scaled-q domain)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _flash_hm(qh, kh, vh, maski, scale, softcap, block_q, block_k, interpret):
-    out, _ = _fwd_impl(qh, kh, vh, maski, scale, softcap, block_q, block_k, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_hm(qh, kh, vh, maski, softcap, block_q, block_k, interpret):
+    out, _ = _fwd_impl(qh, kh, vh, maski, softcap, block_q, block_k, interpret)
     return out
 
 
-def _flash_hm_fwd(qh, kh, vh, maski, scale, softcap, block_q, block_k, interpret):
-    out, lse = _fwd_impl(qh, kh, vh, maski, scale, softcap, block_q, block_k, interpret)
+def _flash_hm_fwd(qh, kh, vh, maski, softcap, block_q, block_k, interpret):
+    out, lse = _fwd_impl(qh, kh, vh, maski, softcap, block_q, block_k, interpret)
     return out, (qh, kh, vh, maski, out, lse)
 
 
-def _flash_hm_bwd(scale, softcap, block_q, block_k, interpret, res, dout):
+def _flash_hm_bwd(softcap, block_q, block_k, interpret, res, dout):
     qh, kh, vh, maski, out, lse = res
     dq, dk, dv = _bwd_impl(
         qh, kh, vh, maski, out, lse, dout.astype(qh.dtype),
-        scale, softcap, block_q, block_k, interpret,
+        softcap, block_q, block_k, interpret,
     )
     dmask = jnp.zeros(maski.shape, dtype=jax.dtypes.float0)
     return dq, dk, dv, dmask
@@ -365,8 +375,8 @@ def flash_attention(
     kv_mask: jax.Array,  # (B, Tk) bool
     scale: float | None = None,
     softcap: float = 0.0,
-    block_q: int = 512,
-    block_k: int = 1024,
+    block_q: int = 1024,
+    block_k: int = 2048,
     interpret: bool = False,
 ) -> jax.Array:
     """Masked flash attention; returns (B, Tq, H, d) in q.dtype.
@@ -378,6 +388,13 @@ def flash_attention(
     # blocks stay multiples of 128 (lse layout: (1, block_q) min-tile)
     block_q = min(block_q, _round_up(Tq, 128))
     block_k = min(block_k, _round_up(Tk, 128))
+
+    # pre-fold the softmax scale (and log2e) into q: one multiply over T*d
+    # elements instead of one per T*T logit element inside the kernel
+    if softcap > 0.0:
+        q = q * jnp.asarray(scale / softcap, q.dtype)
+    else:
+        q = q * jnp.asarray(scale * LOG2E, q.dtype)
 
     # head-major layout for the kernels
     qh = q.transpose(0, 2, 1, 3).reshape(B * H, Tq, d)
@@ -397,6 +414,6 @@ def flash_attention(
         vh = jnp.pad(vh, ((0, 0), (0, pk), (0, 0)))
         maski = jnp.pad(maski, ((0, 0), (0, 0), (0, pk)))
 
-    out = _flash_hm(qh, kh, vh, maski, scale, softcap, block_q, block_k, interpret)
+    out = _flash_hm(qh, kh, vh, maski, softcap, block_q, block_k, interpret)
     out = out[:, :Tq].reshape(B, H, Tq, d).transpose(0, 2, 1, 3)
     return out

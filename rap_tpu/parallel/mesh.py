@@ -53,7 +53,7 @@ def _batch_struct():
     return PartBatch(
         points=z, points_gt=z, local_feats=z, point_mask=z, part_valid=z,
         sample_of_part=z, anchor_part=z, rotations_gt=z, translations_gt=z,
-        scale=z, sample_valid=z,
+        scale=z, sample_valid=z, global_rotation=z, global_translation=z,
     )
 
 

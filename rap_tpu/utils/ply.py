@@ -35,9 +35,10 @@ def read_ply_points(path) -> np.ndarray:
     return read_ply(path)["points"]
 
 
-def read_ply(path) -> dict[str, np.ndarray]:
-    """Read vertex data. Returns dict with 'points' (N,3) f32 and optionally
-    'normals' (N,3) f32 and 'colors' (N,3) u8."""
+def read_ply(path, read_faces: bool = True) -> dict[str, np.ndarray]:
+    """Read vertex data. Returns dict with 'points' (N,3) f32, optionally
+    'normals' (N,3) f32, 'colors' (N,3) u8, and — for mesh PLYs — 'faces'
+    (F,3) i64 (polygons fan-triangulated)."""
     path = Path(path)
     with open(path, "rb") as f:
         line = f.readline().strip()
@@ -47,7 +48,9 @@ def read_ply(path) -> dict[str, np.ndarray]:
         n_vertex = 0
         props: list[tuple[str, str]] = []
         in_vertex = False
-        other_elements: list[tuple[str, int]] = []
+        n_face = 0
+        in_face = False
+        face_list_types: tuple[str, str] | None = None  # (count_t, index_t)
         while True:
             line = f.readline()
             if not line:
@@ -64,14 +67,20 @@ def read_ply(path) -> dict[str, np.ndarray]:
                 name = tok[1].decode()
                 count = int(tok[2])
                 in_vertex = name == "vertex"
+                in_face = name == "face"
                 if in_vertex:
                     n_vertex = count
-                else:
-                    other_elements.append((name, count))
+                elif in_face:
+                    n_face = count
             elif key == b"property":
                 if tok[1] == b"list":
                     if in_vertex:
                         raise ValueError(f"{path}: list property on vertex")
+                    if in_face and tok[4] in (b"vertex_indices", b"vertex_index"):
+                        face_list_types = (
+                            _PLY_TYPES[tok[2].decode()],
+                            _PLY_TYPES[tok[3].decode()],
+                        )
                     continue
                 if in_vertex:
                     props.append((tok[2].decode(), _PLY_TYPES[tok[1].decode()]))
@@ -79,18 +88,53 @@ def read_ply(path) -> dict[str, np.ndarray]:
                 break
 
         names = [p[0] for p in props]
+        faces: list | None = None
         if fmt == "ascii":
             rows = []
             for _ in range(n_vertex):
                 rows.append(f.readline().split())
             arr = np.array(rows, dtype=np.float64)
             data = {n: arr[:, i] for i, n in enumerate(names)}
+            if read_faces and n_face and face_list_types:
+                faces = []
+                for _ in range(n_face):
+                    tok = f.readline().split()
+                    k = int(tok[0])
+                    ids = [int(t) for t in tok[1 : 1 + k]]
+                    for j in range(1, k - 1):
+                        faces.append([ids[0], ids[j], ids[j + 1]])
         else:
             endian = "<" if fmt == "binary_little_endian" else ">"
             dt = np.dtype([(n, endian + t) for n, t in props])
             raw = f.read(dt.itemsize * n_vertex)
             rec = np.frombuffer(raw, dtype=dt, count=n_vertex)
             data = {n: rec[n] for n in names}
+            if read_faces and n_face and face_list_types:
+                cnt_t = np.dtype(endian + face_list_types[0])
+                idx_t = np.dtype(endian + face_list_types[1])
+                buf = f.read()
+                # fast path: all-triangle meshes (the overwhelmingly common
+                # case) parse as one strided record view
+                tri_stride = cnt_t.itemsize + 3 * idx_t.itemsize
+                all_tris = False
+                if len(buf) == n_face * tri_stride:
+                    tri_dt = np.dtype(
+                        [("k", cnt_t), ("ids", idx_t, (3,))]
+                    )
+                    tri = np.frombuffer(buf, tri_dt, n_face)
+                    all_tris = bool((tri["k"] == 3).all())
+                    if all_tris:
+                        faces = tri["ids"].astype(np.int64).tolist()
+                if not all_tris:
+                    faces = []
+                    off = 0
+                    for _ in range(n_face):
+                        k = int(np.frombuffer(buf, cnt_t, 1, off)[0])
+                        off += cnt_t.itemsize
+                        ids = np.frombuffer(buf, idx_t, k, off).astype(np.int64)
+                        off += k * idx_t.itemsize
+                        for j in range(1, k - 1):
+                            faces.append([ids[0], ids[j], ids[j + 1]])
 
     out: dict[str, np.ndarray] = {
         "points": np.stack(
@@ -105,6 +149,8 @@ def read_ply(path) -> dict[str, np.ndarray]:
         out["colors"] = np.stack(
             [data["red"], data["green"], data["blue"]], axis=-1
         ).astype(np.uint8)
+    if faces:
+        out["faces"] = np.asarray(faces, np.int64)
     return out
 
 
@@ -156,3 +202,95 @@ def write_ply(
         else:
             cols = [rec[name] for name, _ in fields]
             np.savetxt(f, np.column_stack(cols), fmt="%.6g")
+
+
+def write_pcd(
+    path,
+    points: np.ndarray,
+    colors: np.ndarray | None = None,
+    binary: bool = True,
+) -> None:
+    """Minimal PCD v0.7 writer: xyz [+ PCL-packed rgb].
+
+    Replaces the reference's Open3D ``write_point_cloud`` for the per-ODE-step
+    ``step_k.pcd`` artifacts (ref evaluator.py:744-825). Colors are (N,3)
+    float in [0,1] or uint8, packed into the standard PCL float-rgb field.
+    """
+    path = Path(path)
+    points = np.asarray(points, np.float32).reshape(-1, 3)
+    n = points.shape[0]
+    if colors is not None:
+        c = np.asarray(colors)
+        if c.dtype != np.uint8:
+            c = (np.clip(c, 0.0, 1.0) * 255).astype(np.uint8)
+        c = c.reshape(-1, 3)
+        rgb_u32 = (
+            (c[:, 0].astype(np.uint32) << 16)
+            | (c[:, 1].astype(np.uint32) << 8)
+            | c[:, 2].astype(np.uint32)
+        )
+        # TYPE U (uint32) rgb: exact in ascii too (the PCL packed-float rgb
+        # does not survive decimal printing)
+        fields, sizes, types, counts = "x y z rgb", "4 4 4 4", "F F F U", "1 1 1 1"
+        rec = np.empty(n, dtype=np.dtype([("x", "<f4"), ("y", "<f4"), ("z", "<f4"), ("rgb", "<u4")]))
+        rec["rgb"] = rgb_u32
+    else:
+        fields, sizes, types, counts = "x y z", "4 4 4", "F F F", "1 1 1"
+        rec = np.empty(n, dtype=np.dtype([("x", "<f4"), ("y", "<f4"), ("z", "<f4")]))
+    rec["x"], rec["y"], rec["z"] = points[:, 0], points[:, 1], points[:, 2]
+    header = (
+        "# .PCD v0.7 - Point Cloud Data file format\n"
+        "VERSION 0.7\n"
+        f"FIELDS {fields}\n"
+        f"SIZE {sizes}\n"
+        f"TYPE {types}\n"
+        f"COUNT {counts}\n"
+        f"WIDTH {n}\n"
+        "HEIGHT 1\n"
+        "VIEWPOINT 0 0 0 1 0 0 0\n"
+        f"POINTS {n}\n"
+        f"DATA {'binary' if binary else 'ascii'}\n"
+    )
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        if binary:
+            f.write(rec.tobytes())
+        else:
+            cols = [rec[name] for name in rec.dtype.names]
+            # %.9g: uint32 rgb needs 8 digits to survive the float detour
+            np.savetxt(f, np.column_stack(cols), fmt="%.9g")
+
+
+def read_pcd(path) -> dict[str, np.ndarray]:
+    """Minimal PCD reader for round-trip tests: returns {'points', 'colors'?}."""
+    path = Path(path)
+    with open(path, "rb") as f:
+        header = {}
+        while True:
+            line = f.readline().decode().strip()
+            if line.startswith("#"):
+                continue
+            key, _, val = line.partition(" ")
+            header[key] = val
+            if key == "DATA":
+                break
+        fields = header["FIELDS"].split()
+        typecodes = header["TYPE"].split()
+        n = int(header["POINTS"])
+        np_types = {"F": "<f4", "U": "<u4", "I": "<i4"}
+        dt = np.dtype(
+            [(name, np_types[t]) for name, t in zip(fields, typecodes)]
+        )
+        if header["DATA"] == "binary":
+            rec = np.frombuffer(f.read(dt.itemsize * n), dtype=dt)
+        else:
+            arr = np.loadtxt(f, dtype=np.float64).reshape(n, len(fields))
+            rec = {name: arr[:, i].astype(dt[name]) for i, name in enumerate(fields)}
+    out = {"points": np.stack([rec["x"], rec["y"], rec["z"]], axis=-1).astype(np.float32)}
+    if "rgb" in fields:
+        u = np.ascontiguousarray(rec["rgb"])
+        u = u.view(np.uint32) if u.dtype != np.uint32 else u
+        out["colors"] = np.stack(
+            [(u >> 16) & 255, (u >> 8) & 255, u & 255], axis=-1
+        ).astype(np.uint8)
+    return out

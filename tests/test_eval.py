@@ -375,28 +375,59 @@ class TestPlyIO:
             np.testing.assert_allclose(data["normals"], nrm, atol=atol)
             np.testing.assert_array_equal(data["colors"], col)
 
+    def test_pcd_roundtrip(self, tmp_path):
+        from rap_tpu.utils import ply
+        rng = np.random.default_rng(1)
+        pts = rng.standard_normal((40, 3)).astype(np.float32)
+        col = rng.integers(0, 255, (40, 3)).astype(np.uint8)
+        for binary in (True, False):
+            p = tmp_path / f"t_{binary}.pcd"
+            ply.write_pcd(p, pts, col, binary=binary)
+            data = ply.read_pcd(p)
+            np.testing.assert_allclose(data["points"], pts, atol=1e-4)
+            np.testing.assert_array_equal(data["colors"], col)
+
     def test_saves_artifacts(self, tmp_path):
         b = _batch(S=1)
         ev = Evaluator(
             EvalConfig(
                 save_results=True,
                 save_pointcloud_parts=True,
+                save_merged_pointcloud_steps=True,
                 output_dir=str(tmp_path / "res"),
             )
         )
         pred = np.asarray(b.points_gt)
         R, t = fit_transformations(b.points, b.points_gt, b.point_mask)
         md = ev.compute_metrics(b, b.points_gt, R, t)
+        traj = np.stack([pred, pred])  # 2 fake ODE steps
         ev.save_sample_results(
             b, pred, np.asarray(R), np.asarray(t),
             {k: np.asarray(v) for k, v in md.items()},
             sample_names=["pair_000"], dataset_name="demo",
+            trajectory=traj, midpoint_trajectory=traj,
         )
         d = tmp_path / "res" / "demo" / "pair_000" / "generation_0"
         assert (d / "metrics.json").exists()
-        assert (d / "part0_transform.txt").exists()
-        assert (d / "part1_transform.txt").exists()
-        T = np.loadtxt(d / "part0_transform.txt")
+        # reference contract: relative-to-GT transform files, 2-digit part ids
+        assert (d / "part00_transform.txt").exists()
+        assert (d / "part01_transform.txt").exists()
+        # with perfect prediction the relative-to-GT transform is identity
+        # (composed with inv of the identity global transform)
+        T_rel = np.loadtxt(d / "part00_transform.txt")
+        np.testing.assert_allclose(T_rel, np.eye(4), atol=1e-4)
+        # raw predicted pose flavor
+        T = np.loadtxt(d / "part00_pose.txt")
         assert T.shape == (4, 4)
         np.testing.assert_allclose(T[3], [0, 0, 0, 1], atol=1e-9)
+        assert (d / "global_transform.txt").exists()
         assert (d / "merged_pred.ply").exists()
+        # per-ODE-step merged clouds: endpoint AND midpoint, .pcd with colors
+        from rap_tpu.utils import ply
+        for sub in ("endpoint", "midpoint"):
+            for st in range(2):
+                f = d / "generation" / sub / f"step_{st}.pcd"
+                assert f.exists(), f
+            data = ply.read_pcd(d / "generation" / sub / "step_0.pcd")
+            assert "colors" in data and len(data["points"]) > 0
+        assert (d / "generation" / "merged_input.pcd").exists()

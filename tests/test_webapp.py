@@ -1,0 +1,145 @@
+"""Headless tests for the web-demo pipeline (format conversion, global shift,
+GLB assembly, end-to-end run) — no gradio required."""
+
+import zipfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from rap_tpu.apps import webapp
+from rap_tpu.utils import ply as plyio
+
+
+class TestMeshSampling:
+    def test_unit_square_two_triangles(self):
+        v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], float)
+        f = np.array([[0, 1, 2], [0, 2, 3]])
+        pts, nrm = webapp.sample_mesh_surface(v, f, 5000)
+        assert pts.shape == (5000, 3)
+        assert np.all(pts[:, 0] >= 0) and np.all(pts[:, 0] <= 1)
+        assert np.allclose(pts[:, 2], 0)
+        # z-up normals
+        assert np.allclose(np.abs(nrm[:, 2]), 1, atol=1e-6)
+        # uniform coverage: both halves get ~half the samples
+        upper = np.mean(pts[:, 1] > pts[:, 0])
+        assert 0.4 < upper < 0.6
+
+    def test_area_weighting(self):
+        # one tiny and one huge triangle: samples concentrate on the huge one
+        v = np.array(
+            [[0, 0, 0], [0.01, 0, 0], [0, 0.01, 0],
+             [10, 0, 0], [20, 0, 0], [10, 10, 0]], float
+        )
+        f = np.array([[0, 1, 2], [3, 4, 5]])
+        pts, _ = webapp.sample_mesh_surface(v, f, 2000)
+        frac_big = np.mean(pts[:, 0] >= 9.0)
+        assert frac_big > 0.99
+
+
+class TestConversions:
+    def test_obj_roundtrip(self, tmp_path):
+        obj = tmp_path / "m.obj"
+        obj.write_text(
+            "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1 2 3 4\n"
+        )
+        out = webapp.convert_to_ply(obj, tmp_path / "m.ply", mesh_sample_points=100)
+        pts = plyio.read_ply(out)["points"]
+        assert len(pts) == 100
+
+    def test_pts_ascii(self, tmp_path):
+        src = tmp_path / "c.pts"
+        src.write_text("3\n1 2 3 255\n4 5 6 255\n7 8 9 255\n")
+        out = webapp.convert_to_ply(src, tmp_path / "c.ply")
+        pts = plyio.read_ply(out)["points"]
+        np.testing.assert_allclose(pts, [[1, 2, 3], [4, 5, 6], [7, 8, 9]])
+
+    def test_pcd_to_ply(self, tmp_path):
+        pts = np.random.default_rng(0).standard_normal((30, 3)).astype(np.float32)
+        plyio.write_pcd(tmp_path / "a.pcd", pts)
+        out = webapp.convert_to_ply(tmp_path / "a.pcd", tmp_path / "a.ply")
+        np.testing.assert_allclose(plyio.read_ply(out)["points"], pts, atol=1e-6)
+
+    def test_unknown_format_raises(self, tmp_path):
+        (tmp_path / "x.step").write_text("nope")
+        with pytest.raises(ValueError, match="unsupported"):
+            webapp.convert_to_ply(tmp_path / "x.step", tmp_path / "x.ply")
+
+
+class TestGlobalShift:
+    def test_detect_shift_save(self, tmp_path):
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((50, 3)).astype(np.float32) + [5000, 100, 0]
+        b = rng.standard_normal((50, 3)).astype(np.float32) + [5002, 101, 1]
+        plyio.write_ply(tmp_path / "a.ply", a)
+        plyio.write_ply(tmp_path / "b.ply", b)
+        assert webapp.detect_large_coordinates(tmp_path)
+        shift = webapp.calculate_global_shift(tmp_path)
+        np.testing.assert_allclose(
+            shift, np.minimum(a.min(0), b.min(0)), rtol=1e-6
+        )
+        n = webapp.apply_global_shift(tmp_path, shift)
+        assert n == 2
+        a2 = plyio.read_ply(tmp_path / "a.ply")["points"]
+        assert not webapp.detect_large_coordinates(tmp_path)
+        np.testing.assert_allclose(a2, a - shift.astype(np.float32), atol=1e-3)
+        f = webapp.save_global_shift(shift, tmp_path)
+        vals = [float(x) for x in f.read_text().splitlines()[-1].split()]
+        np.testing.assert_allclose(vals, shift, atol=1e-5)
+
+    def test_small_coords_not_detected(self, tmp_path):
+        plyio.write_ply(tmp_path / "a.ply", np.ones((10, 3), np.float32))
+        assert not webapp.detect_large_coordinates(tmp_path)
+
+
+class TestGLB:
+    def test_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        pts = rng.standard_normal((123, 3)).astype(np.float32)
+        col = rng.integers(0, 255, (123, 3)).astype(np.uint8)
+        p = webapp.write_glb_pointcloud(tmp_path / "x.glb", pts, col)
+        data = webapp.read_glb_pointcloud(p)
+        np.testing.assert_allclose(data["points"], pts, atol=1e-6)
+        np.testing.assert_array_equal(data["colors"], col)
+
+    def test_combine_registered(self, tmp_path):
+        rng = np.random.default_rng(1)
+        reg = tmp_path / "registered"
+        reg.mkdir()
+        for i in range(3):
+            plyio.write_ply(
+                reg / f"part{i}.ply",
+                rng.standard_normal((40, 3)).astype(np.float32),
+            )
+        glb = webapp.combine_registered_to_glb(reg, tmp_path / "out.glb")
+        data = webapp.read_glb_pointcloud(glb)
+        assert len(data["points"]) == 120
+        assert len(np.unique(data["colors"], axis=0)) == 3
+
+
+@pytest.mark.slow
+class TestEndToEnd:
+    def test_run_rap_demo_headless(self, tmp_path):
+        rng = np.random.default_rng(0)
+        base = rng.standard_normal((3000, 3)).astype(np.float32)
+        from scipy.spatial.transform import Rotation
+
+        R = Rotation.from_euler("z", 20, degrees=True).as_matrix().astype(np.float32)
+        a = base[:2000] + [5000.0, 0.0, 0.0]          # large coords -> shift
+        b = base[1000:] @ R.T + [5000.2, 0.0, 0.0]
+        plyio.write_ply(tmp_path / "a.ply", a)
+        plyio.write_ply(tmp_path / "b.ply", b)
+        res = webapp.run_rap_demo(
+            [tmp_path / "a.ply", tmp_path / "b.ply"],
+            tmp_path / "work",
+            num_steps=2,
+            max_points_per_part=512,
+        )
+        assert res["global_shift"] is not None
+        assert Path(res["glb"]).exists()
+        data = webapp.read_glb_pointcloud(res["glb"])
+        assert len(data["points"]) > 0
+        with zipfile.ZipFile(res["zip"]) as z:
+            names = z.namelist()
+        assert any(n.startswith("registered/") for n in names)
+        assert "global_shift.txt" in names
