@@ -9,10 +9,13 @@ throughput.
 
 Baseline note: the reference publishes no numbers (BASELINE.json
 published={}), so vs_baseline is measured against an analytic estimate of the
-reference on an A100: ~39 TFLOP/pair (12 layers x (2-level flash attention at
+reference on an A100: ~41 TFLOP/pair (12 layers x (2-level flash attention at
 8k tokens + 7.1M-param matmuls) x 10 steps) at ~40% fp16 MFU ~= 3.0
 pairs/sec, ignoring its per-step host-side serial SVD stalls (SURVEY.md §3
-hot loop #2). Update when real paper/GPU numbers become available.
+hot loop #2). Measured v5e facts (see BASELINE.md "measured" section): the
+d=64 attention kernel sustains ~63 TFLOP/s amortized — the same shape caps
+the stock jax flash/splash kernels at 24-62 — and PAIRS=2 saturates the chip
+(throughput decreases monotonically with batch beyond it).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -28,9 +31,10 @@ import jax.numpy as jnp
 import numpy as np
 
 REF_GPU_PAIRS_PER_SEC = 3.0
-PAIRS = 4           # pairs per batch
+PAIRS = 2           # pairs per batch (sweep: 2 > 4 > 8 > 16 on one v5e)
 POINTS_PER_PART = 4096
 STEPS = 10
+TFLOP_PER_PAIR = 41.0  # analytic: 24.7 attention + 16.5 projection/FF
 
 
 def log(*a):
@@ -87,9 +91,12 @@ def main():
         times.append((time.time() - t0) / REPS)
     per_batch = float(np.median(times))
     pairs_per_sec = PAIRS / per_batch
+    mfu = TFLOP_PER_PAIR * pairs_per_sec / 197.0  # v5e bf16 peak ~197 TFLOP/s
     log(
         f"batch of {PAIRS} pairs: {per_batch * 1e3:.1f} ms "
-        f"({per_batch / PAIRS * 1e3:.1f} ms/pair)"
+        f"({per_batch / PAIRS * 1e3:.1f} ms/pair, "
+        f"{TFLOP_PER_PAIR * pairs_per_sec:.0f} TFLOP/s effective, "
+        f"{100 * mfu:.0f}% MFU)"
     )
 
     print(

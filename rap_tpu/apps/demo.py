@@ -259,6 +259,21 @@ def run_demo(args) -> int:
         np.savetxt(out_dir / f"part{p}_transform.txt", T, fmt="%.8f")
         logger.info("part %d (%s): |t|=%.3f m", p, f.name, np.linalg.norm(T[:3, 3]))
     logger.info("registered clouds written to %s", reg_dir)
+
+    if args.output_generated:
+        # the raw generated keypoint parts instead of transformed originals
+        # (ref demo.py:1180-1293 --output_generated), mapped to metric coords
+        # then re-based to part 0's frame like the registered outputs
+        gen_dir = out_dir / "generated"
+        gen_dir.mkdir(exist_ok=True)
+        mask = np.asarray(batch.point_mask)
+        gen_sp = pts.reshape(batch.G, batch.N, 3)
+        for p, f in enumerate(ply_files):
+            g = gen_sp[p][mask[p]]
+            metric = smp.scale * (g + gt_trans) + primary_center
+            metric = metric @ T0_inv[:3, :3].T + T0_inv[:3, 3]
+            plyio.write_ply(gen_dir / f.name, metric.astype(np.float32))
+        logger.info("generated keypoint clouds written to %s", gen_dir)
     return 0
 
 
@@ -284,6 +299,10 @@ def main(argv=None):
     ap.add_argument("--features", choices=["zero", "spinnet"], default="zero")
     ap.add_argument("--spinnet-checkpoint", default="")
     ap.add_argument("--camera-frame", action="store_true")
+    ap.add_argument(
+        "--output-generated", action="store_true",
+        help="also write the generated keypoint clouds (ref --output_generated)",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("-o", "--override", action="append", default=[])
     args = ap.parse_args(argv)

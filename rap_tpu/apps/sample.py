@@ -38,12 +38,18 @@ logger = logging.getLogger("rap_tpu.sample")
 def load_params(cfg: Config):
     params = init_dit_params(jax.random.key(cfg.trainer.seed), cfg.model)
     if cfg.checkpoint:
-        if cfg.checkpoint.endswith((".ckpt", ".pth", ".pt")):
-            logger.info("converting torch checkpoint %s", cfg.checkpoint)
-            params = load_torch_checkpoint(cfg.checkpoint, cfg.model.num_layers)
+        ckpt = cfg.checkpoint
+        if ckpt.endswith((".ckpt", ".pth", ".pt")):
+            from ..train.weights import resolve_checkpoint
+
+            # known names auto-resolve: cache -> HF PRBonn/RAP -> IPB zip
+            # (ref checkpoint.py:64-71, demo.py:66-120)
+            ckpt = str(resolve_checkpoint(ckpt))
+            logger.info("converting torch checkpoint %s", ckpt)
+            params = load_torch_checkpoint(ckpt, cfg.model.num_layers)
         else:
-            logger.info("restoring orbax checkpoint %s", cfg.checkpoint)
-            restored = restore_checkpoint(cfg.checkpoint, {"params": params})
+            logger.info("restoring orbax checkpoint %s", ckpt)
+            restored = restore_checkpoint(ckpt, {"params": params})
             params = restored["params"]
     else:
         logger.warning("no checkpoint given — evaluating RANDOM weights")
@@ -142,6 +148,7 @@ def run_eval(cfg: Config, params=None) -> dict:
                     batch,
                     [np.asarray(out["points"])],
                     [np.asarray(out["end_point_trajectory"])],
+                    midpoint_trajectories=[np.asarray(out["trajectory"])],
                     transformer_features=(
                         np.asarray(out["transformer_features"])
                         if "transformer_features" in out

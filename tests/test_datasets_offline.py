@@ -242,3 +242,49 @@ class TestPoseGraphGroups:
         assert len(names) == 1
         plys = sorted((tmp_path / "out" / names[0]).glob("part_*.ply"))
         assert len(plys) >= 3
+
+
+class TestDryRunPreview:
+    def test_dry_run_kitti(self, tmp_path):
+        from rap_tpu.dataset_process import preview as PV
+
+        TestKitti()._write_kitti(tmp_path, n_frames=6)
+        rep = PV.dry_run(
+            tmp_path, tmp_path / "out", ["00", "01"],
+            PV.kitti_sequence_info(tmp_path),
+            samples_per_sequence=5, max_samples_per_sequence=3,
+        )
+        assert not rep.ok  # sequence 01 is missing
+        s00 = next(s for s in rep.sequences if s.name == "00")
+        s01 = next(s for s in rep.sequences if s.name == "01")
+        assert s00.ok and s00.frame_count == 6 and s00.planned_samples == 3
+        assert not s01.ok and "velodyne" in s01.error
+        assert rep.total_samples == 3
+
+    def test_dry_run_bad_root(self, tmp_path):
+        from rap_tpu.dataset_process import preview as PV
+
+        rep = PV.dry_run(
+            tmp_path / "nope", tmp_path / "out", [],
+            lambda s: {"frame_count": 0},
+        )
+        assert not rep.ok and not rep.data_root_ok
+
+    def test_preview_splits_manual_and_auto(self):
+        from rap_tpu.dataset_process import preview as PV
+
+        # sample names follow the '<seq>/<sample>' convention of splits.py
+        by_seq = {
+            "seqA": [f"seqA/s{i}" for i in range(5)],
+            "seqB": [f"seqB/s{i}" for i in range(5)],
+            "seqC": [f"seqC/s{i}" for i in range(5)],
+        }
+        manual = PV.preview_splits(by_seq, val_sequences=["seqB"])
+        assert manual["per_sequence"]["seqB"] == ("val", 5)
+        assert manual["per_sequence"]["seqA"] == ("train", 5)
+        assert len(manual["val"]) == 5
+
+        auto = PV.preview_splits(by_seq, val_fraction=0.34, seed=1)
+        assert len(auto["train"]) + len(auto["val"]) == 15
+        kinds = {k for k, _ in auto["per_sequence"].values()}
+        assert "mixed" not in kinds  # sequences stay together

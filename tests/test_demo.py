@@ -168,3 +168,86 @@ class TestDemoCLI:
         np.testing.assert_allclose(T0, np.eye(4), atol=1e-6)
         reg = plyio.read_ply(out / "registered" / "a.ply")["points"]
         assert reg.shape == (300, 3)
+
+    def test_output_generated(self, tmp_path):
+        rng = np.random.default_rng(1)
+        scene = rng.uniform(0, 2, (300, 3)).astype(np.float32)
+        in_dir = tmp_path / "views"
+        in_dir.mkdir()
+        plyio.write_ply(in_dir / "a.ply", scene[:200])
+        plyio.write_ply(in_dir / "b.ply", scene[100:])
+
+        from rap_tpu.apps.demo import main
+
+        rc = main([
+            "-i", str(in_dir),
+            "-out", str(tmp_path / "out"),
+            "--num-steps", "1",
+            "--max-points-per-part", "128",
+            "--output-generated",
+            "-o", "model.num_layers=2",
+            "-o", "model.embed_dim=64",
+            "-o", "model.num_heads=4",
+            "-o", "model.compute_dtype=float32",
+        ])
+        assert rc == 0
+        for name in ("a.ply", "b.ply"):
+            g = plyio.read_ply(tmp_path / "out" / "generated" / name)["points"]
+            assert 0 < len(g) <= 128
+
+
+class TestWeightResolution:
+    def test_local_path_passthrough(self, tmp_path):
+        from rap_tpu.train.weights import resolve_checkpoint
+
+        f = tmp_path / "rap_model_12.ckpt"
+        f.write_bytes(b"x" * 10)
+        assert resolve_checkpoint(str(f)) == f
+
+    def test_cache_hit(self, tmp_path):
+        from rap_tpu.train.weights import resolve_checkpoint
+
+        cache = tmp_path / "cache"
+        (cache / "sub").mkdir(parents=True)
+        (cache / "sub" / "rap_model_10.ckpt").write_bytes(b"y")
+        p = resolve_checkpoint(
+            "rap_model_10.ckpt", cache_dir=cache, download=False
+        )
+        assert p.name == "rap_model_10.ckpt"
+
+    def test_zip_source_and_checksum(self, tmp_path):
+        import hashlib
+        import zipfile
+
+        from rap_tpu.train.weights import resolve_checkpoint
+
+        payload = b"fake-weights"
+        zsrc = tmp_path / "weights.zip"
+        with zipfile.ZipFile(zsrc, "w") as z:
+            z.writestr("rap_model.ckpt", payload)
+        cache = tmp_path / "cache"
+        p = resolve_checkpoint(
+            "rap_model.ckpt",
+            cache_dir=cache,
+            weights_url=zsrc.as_uri(),   # file:// URL, no network
+        )
+        assert p.read_bytes() == payload
+        # checksum verification
+        good = hashlib.sha256(payload).hexdigest()
+        assert resolve_checkpoint(
+            "rap_model.ckpt", cache_dir=cache, sha256=good
+        ).exists()
+        import pytest
+
+        with pytest.raises(ValueError, match="checksum"):
+            resolve_checkpoint("rap_model.ckpt", cache_dir=cache, sha256="0" * 64)
+
+    def test_missing_raises_with_sources(self, tmp_path):
+        import pytest
+
+        from rap_tpu.train.weights import resolve_checkpoint
+
+        with pytest.raises(FileNotFoundError, match="not found"):
+            resolve_checkpoint(
+                "nope.ckpt", cache_dir=tmp_path, download=False
+            )

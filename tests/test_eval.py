@@ -431,3 +431,18 @@ class TestPlyIO:
             data = ply.read_pcd(d / "generation" / sub / "step_0.pcd")
             assert "colors" in data and len(data["points"]) > 0
         assert (d / "generation" / "merged_input.pcd").exists()
+
+
+class TestEvalConfigExtensions:
+    def test_part_acc_ecdf_icp_keys(self):
+        b = _batch(S=2)
+        ev = Evaluator(EvalConfig(
+            part_acc_eval_on=True, ecdf_eval_on=True, use_icp=True,
+        ))
+        R, t = fit_transformations(b.points, b.points_gt, b.point_mask)
+        md = ev.compute_metrics(b, b.points_gt, R, t)
+        np.testing.assert_allclose(np.asarray(md["part_accuracy"]), 1.0)
+        # perfect prediction: all errors below every ECDF threshold
+        np.testing.assert_allclose(np.asarray(md["ecdf_rotation_at_3deg"]), 1.0)
+        np.testing.assert_allclose(np.asarray(md["ecdf_translation_at_0.05m"]), 1.0)
+        assert np.all(np.asarray(md["average_rotation_error (deg)"]) < 1.0)

@@ -52,7 +52,8 @@ class TestFlowVisualization:
         traj = np.stack([np.asarray(b.points), gen])
         feats = np.random.default_rng(0).standard_normal((b.G, b.N, 8))
         written = vis.on_batch_end(
-            b, [gen], [traj], transformer_features=feats,
+            b, [gen], [traj], midpoint_trajectories=[traj],
+            transformer_features=feats,
             sample_names=["pairA"], dataset_name="toy",
         )
         d = tmp_path / "toy" / "pairA"
@@ -60,6 +61,7 @@ class TestFlowVisualization:
         assert (d / "gt.png").exists()
         assert (d / "generation_0.png").exists()
         assert (d / "trajectory_0.gif").exists()
+        assert (d / "trajectory_xt_0.gif").exists()
         assert (d / "features_pca.png").exists()
         assert (d / "part_0.png").exists()
         assert len(written) >= 4
@@ -94,3 +96,5 @@ class TestOverlapVisualization:
         lines = csv.read_text().splitlines()
         assert lines[0].startswith("sample,") and len(lines) == 2
         assert (tmp_path / "overlap_hist.png").exists()
+        assert (tmp_path / "overlap_heatmap.png").exists()
+        assert (tmp_path / "pairA_overlap_cloud.png").exists()
