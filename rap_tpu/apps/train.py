@@ -16,7 +16,6 @@ sampling eval.
 from __future__ import annotations
 
 import argparse
-import json
 import logging
 import sys
 import time
@@ -35,6 +34,7 @@ from ..parallel.mesh import make_mesh, shard_batch
 from ..registration import predict_poses, sample
 from ..train import TrainState, build_optimizer, make_train_step
 from ..train.checkpoint import restore_checkpoint, save_checkpoint
+from ..train.tracking import ExperimentTracker, find_run_id
 
 logger = logging.getLogger("rap_tpu.train")
 
@@ -51,18 +51,8 @@ def _get_monitor(results: dict, monitor: str) -> float:
     return results.get(ds, {}).get(name, float("inf"))
 
 
-class MetricsLogger:
-    def __init__(self, path: str = ""):
-        self.f = open(path, "a") if path else None
-
-    def log(self, step: int, metrics: dict, prefix: str = "train"):
-        scalars = {
-            f"{prefix}/{k}": float(np.asarray(v)) for k, v in metrics.items()
-        }
-        logger.info("step %d | %s", step, " ".join(f"{k}={v:.4g}" for k, v in scalars.items()))
-        if self.f:
-            self.f.write(json.dumps({"step": step, **scalars}) + "\n")
-            self.f.flush()
+# metrics go through ExperimentTracker (train/tracking.py): JSONL always,
+# wandb mirror + run-id resume + code snapshot when available
 
 
 def evaluate_validation(cfg: Config, params, val_datasets, epoch: int) -> dict:
@@ -148,7 +138,12 @@ def run_train(cfg: Config, max_steps: int | None = None) -> TrainState:
         cfg.model_name, param_count(params) / 1e6, steps_per_epoch,
     )
     step_fn = make_train_step(cfg.pipeline, tx, mesh=mesh, remat=cfg.trainer.remat)
-    mlog = MetricsLogger(cfg.trainer.log_file)
+    mlog = ExperimentTracker(
+        run_dir=cfg.trainer.checkpoint_dir,
+        config=cfg,
+        resume_id=find_run_id(ckpt_dir) if cfg.checkpoint else None,
+        rank_zero=jax.process_index() == 0,
+    )
 
     best_monitor = float("inf")
     total_steps = 0
@@ -171,6 +166,7 @@ def run_train(cfg: Config, max_steps: int | None = None) -> TrainState:
         if (epoch + 1) % cfg.trainer.val_every_n_epochs == 0 and val_datasets:
             results = evaluate_validation(cfg, state.params, val_datasets, epoch)
             print_eval_table({"val": results})
+            mlog.log_dict(total_steps, results, prefix="val")
             mon = _get_monitor(results, cfg.trainer.monitor)
             if jax.process_index() == 0:
                 if mon < best_monitor:

@@ -371,6 +371,150 @@ def process_nss(
 
 
 # ---------------------------------------------------------------------------
+# MIT / TIERS benchmark pairs (ref :1095-1598)
+# ---------------------------------------------------------------------------
+# Both are "benchmark mode" pair datasets exactly like NSS: annotated pairs
+# with a source->target transform. Their reference loaders were never
+# released, so they share the pairs_{split}.json on-disk contract (see the
+# NSS section above); only the default thresholds differ (LiDAR scale).
+
+def process_mit(data_root, output_dir, split_type: str = "benchmark",
+                cfg: PairProcessingConfig | None = None, **kw):
+    """MIT multi-robot SLAM benchmark pairs (ref :1095)."""
+    cfg = cfg or PairProcessingConfig(voxel_size=0.25)
+    return process_nss(data_root, output_dir, split_type, cfg=cfg, **kw)
+
+
+def process_tiers(data_root, output_dir, split_type: str = "benchmark",
+                  cfg: PairProcessingConfig | None = None, **kw):
+    """TIERS multi-LiDAR benchmark pairs (ref :1346)."""
+    cfg = cfg or PairProcessingConfig(voxel_size=0.25)
+    return process_nss(data_root, output_dir, split_type, cfg=cfg, **kw)
+
+
+# ---------------------------------------------------------------------------
+# generic posed-frame folder sequences (Waymo-style exports; ref :1599-1849)
+# ---------------------------------------------------------------------------
+
+def folder_frame_loader(data_root, sequence: str, max_frames: int = 0):
+    """Yield frames from `<root>/<sequence>/frames/*.{ply,pcd,npy,bin}` with
+    `<root>/<sequence>/poses.txt` (N rows of 12 or 16 floats, row-major).
+
+    The Waymo processor (ref :1599) reads TFRecords through the unreleased
+    loader package; the supported path here is pre-extracted frames in any of
+    the four formats (the standard export produced by waymo-open-dataset
+    tooling), which keeps this repo free of the TF dependency.
+    """
+    seq_dir = Path(data_root) / sequence
+    frame_dir = seq_dir / "frames"
+    files = sorted(
+        f for f in frame_dir.iterdir()
+        if f.suffix in (".ply", ".pcd", ".npy", ".bin")
+    )
+    poses = []
+    for line in (seq_dir / "poses.txt").read_text().splitlines():
+        vals = [float(x) for x in line.split()]
+        if not vals:
+            continue
+        P = np.eye(4)
+        if len(vals) == 16:
+            P = np.array(vals).reshape(4, 4)
+        elif len(vals) == 12:
+            P[:3, :4] = np.array(vals).reshape(3, 4)
+        else:
+            raise ValueError(f"bad pose row with {len(vals)} values")
+        poses.append(P)
+    n = min(len(files), len(poses))
+    if max_frames:
+        n = min(n, max_frames)
+    for i in range(n):
+        f = files[i]
+        if f.suffix == ".ply":
+            pts = plyio.read_ply(f)["points"].astype(np.float64)
+        elif f.suffix == ".pcd":
+            pts = plyio.read_pcd(f)["points"].astype(np.float64)
+        elif f.suffix == ".npy":
+            pts = np.load(f)[:, :3].astype(np.float64)
+        else:  # .bin: float32 Nx4 (KITTI/Waymo convention)
+            pts = np.fromfile(f, np.float32).reshape(-1, 4)[:, :3].astype(np.float64)
+        yield {"points": pts, "pose": poses[i], "frame_id": f.stem}
+
+
+def process_waymo(
+    data_root, sequence: str, output_root,
+    cfg: SequenceProcessingConfig | None = None, max_frames: int = 0,
+) -> list[str]:
+    """Waymo sequence (pre-extracted frames) -> submap samples (ref :1599)."""
+    cfg = cfg or SequenceProcessingConfig(
+        voxel_size=0.3,
+        keyframe_min_translation=1.0,
+        keyframe_min_rotation_deg=2.0,
+    )
+    loader = folder_frame_loader(data_root, sequence, max_frames=max_frames)
+    return process_sequence(loader, f"waymo_{sequence}", output_root, cfg)
+
+
+# ---------------------------------------------------------------------------
+# TLS static scans (ETH / WHU-TLS; ref :2876-3083)
+# ---------------------------------------------------------------------------
+
+def process_tls(
+    data_root,
+    sequence: str,
+    output_dir,
+    min_submaps_per_sample: int = 2,
+    max_submaps_per_sample: int = 10,
+    num_samples: int = 10,
+    min_overlap_ratio: float = 0.001,
+    max_overlap_ratio: float = 0.8,
+    overlap_voxel_size: float = 2.0,
+    voxel_size: float = 0.25,
+    seed: int = 0,
+) -> list[str]:
+    """TLS scans -> multi-view samples: every aligned PLY under
+    `<root>/<sequence>/` is one static submap; samples are connected groups
+    in the pairwise voxel-IoU overlap graph (ref :2876: fixed 1-frame
+    submaps + overlap-connected selection)."""
+    scan_dir = Path(data_root) / sequence
+    files = sorted(scan_dir.glob("*.ply"))
+    if len(files) < min_submaps_per_sample:
+        logger.warning("%s: only %d scans; nothing to do", sequence, len(files))
+        return []
+    clouds = [plyio.read_ply(f)["points"].astype(np.float64) for f in files]
+    # overlap graph over the coarse voxel grid
+    edges = []
+    for i in range(len(clouds)):
+        for j in range(i + 1, len(clouds)):
+            ov = G.voxel_iou_overlap(clouds[i], clouds[j], overlap_voxel_size)
+            edges.append(
+                {"source_id": files[i].stem, "target_id": files[j].stem,
+                 "overlap_ratio": float(ov)}
+            )
+    nodes = [{"id": f.stem} for f in files]
+    groups = generate_connected_groups(
+        edges, nodes, num_samples, min_submaps_per_sample,
+        max_submaps_per_sample,
+        min_overlap_ratio=min_overlap_ratio,
+        max_overlap_ratio=max_overlap_ratio,
+        seed=seed,
+    )
+    names = []
+    out_root = Path(output_dir)
+    for gi, group in enumerate(groups):
+        parts = []
+        for ni in group:
+            pts = clouds[ni]
+            if voxel_size > 0:
+                pts = voxel_downsample(pts, voxel_size)
+            parts.append(pts)
+        name = f"{sequence}_tls_{gi:04d}"
+        save_training_sample(out_root, name, parts)
+        names.append(name)
+    logger.info("TLS %s: wrote %d samples", sequence, len(names))
+    return names
+
+
+# ---------------------------------------------------------------------------
 # pose-graph connected-group sampling (ref :2153-2373)
 # ---------------------------------------------------------------------------
 

@@ -64,3 +64,33 @@ class TestConfig:
         assert cfg.model.num_layers == 10
         assert cfg.pipeline.n_generations == 2
         assert cfg.pipeline.rigidity_forcing is False
+
+
+class TestExperimentTracker:
+    def test_jsonl_config_snapshot_and_resume_id(self, tmp_path):
+        import json
+
+        from rap_tpu.train.tracking import ExperimentTracker, find_run_id, snapshot_code
+
+        tr = ExperimentTracker(tmp_path, config={"lr": 1e-3}, use_wandb=False)
+        tr.log(1, {"loss": 2.5})
+        tr.log_dict(2, {"kitti": {"chamfer": 0.1}})
+        tr.finish()
+        lines = (tmp_path / "metrics.jsonl").read_text().splitlines()
+        assert json.loads(lines[0]) == {"step": 1, "train/loss": 2.5}
+        assert json.loads(lines[1]) == {"step": 2, "val/kitti/chamfer": 0.1}
+        assert json.loads((tmp_path / "config.json").read_text()) == {"lr": 1e-3}
+        snap = tmp_path / "code_snapshot.zip"
+        assert snap.exists() and snap.stat().st_size > 10_000
+        # run-id resume: absent -> None; persisted -> recovered
+        assert find_run_id(tmp_path) is None
+        (tmp_path / "wandb_run_id.txt").write_text("abc123\n")
+        assert find_run_id(tmp_path) == "abc123"
+
+    def test_non_rank_zero_is_noop(self, tmp_path):
+        from rap_tpu.train.tracking import ExperimentTracker
+
+        tr = ExperimentTracker(tmp_path / "r", rank_zero=False)
+        tr.log(1, {"loss": 1.0})
+        tr.finish()
+        assert not (tmp_path / "r").exists()

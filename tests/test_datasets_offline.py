@@ -288,3 +288,77 @@ class TestDryRunPreview:
         assert len(auto["train"]) + len(auto["val"]) == 15
         kinds = {k for k, _ in auto["per_sequence"].values()}
         assert "mixed" not in kinds  # sequences stay together
+
+
+class TestMoreProcessors:
+    def test_mit_tiers_share_pair_contract(self, tmp_path):
+        TestNSS()._write_nss(tmp_path)
+        (tmp_path / "pairs_benchmark.json").write_text(
+            (tmp_path / "pairs_train.json").read_text()
+        )
+        cfg = D.PairProcessingConfig(voxel_size=0.0, min_overlap_ratio=0.0,
+                                     max_overlap_ratio=1.0)
+        names, _ = D.process_mit(tmp_path, tmp_path / "mit", cfg=cfg)
+        assert len(names) == 3
+        names, _ = D.process_tiers(tmp_path, tmp_path / "tiers", cfg=cfg)
+        assert len(names) == 3
+
+    def test_folder_frame_loader_formats(self, tmp_path):
+        rng = np.random.default_rng(4)
+        seq = tmp_path / "seq0"
+        (seq / "frames").mkdir(parents=True)
+        pts = rng.standard_normal((50, 3)).astype(np.float32)
+        plyio.write_ply(seq / "frames" / "000.ply", pts)
+        plyio.write_pcd(seq / "frames" / "001.pcd", pts + 1)
+        np.save(seq / "frames" / "002.npy", pts + 2)
+        np.concatenate([pts + 3, np.zeros((50, 1), np.float32)], 1).tofile(
+            seq / "frames" / "003.bin"
+        )
+        poses = []
+        for i in range(4):
+            P = _rt(0, t=(float(i), 0, 0))
+            poses.append(" ".join(f"{x:.8f}" for x in P.reshape(-1)))
+        (seq / "poses.txt").write_text("\n".join(poses) + "\n")
+        frames = list(D.folder_frame_loader(tmp_path, "seq0"))
+        assert len(frames) == 4
+        for i, fr in enumerate(frames):
+            np.testing.assert_allclose(fr["pose"][:3, 3], [i, 0, 0])
+            np.testing.assert_allclose(fr["points"], pts + i, atol=1e-4)
+
+    def test_process_waymo_smoke(self, tmp_path):
+        rng = np.random.default_rng(5)
+        seq = tmp_path / "w0"
+        (seq / "frames").mkdir(parents=True)
+        poses = []
+        for i in range(8):
+            pts = rng.standard_normal((200, 3)).astype(np.float32) * 5
+            plyio.write_ply(seq / "frames" / f"{i:03d}.ply", pts)
+            poses.append(" ".join(
+                f"{x:.8f}" for x in _rt(0, t=(2.0 * i, 0, 0)).reshape(-1)
+            ))
+        (seq / "poses.txt").write_text("\n".join(poses) + "\n")
+        cfg = SequenceProcessingConfig(
+            min_frames_per_submap=2, max_frames_per_submap=3,
+            submaps_per_sample=2, samples_per_sequence=2, voxel_size=0.0,
+            keyframe_min_translation=0.0,
+        )
+        names = D.process_waymo(tmp_path, "w0", tmp_path / "out", cfg=cfg)
+        assert len(names) >= 1
+
+    def test_process_tls_overlap_groups(self, tmp_path):
+        rng = np.random.default_rng(6)
+        scans = tmp_path / "ETH"
+        scans.mkdir()
+        base = rng.uniform(0, 10, (800, 3)).astype(np.float32)
+        # three overlapping scans sliding along x, one far-away outlier
+        for i in range(3):
+            plyio.write_ply(scans / f"scan_{i}.ply", base + [2.0 * i, 0, 0])
+        plyio.write_ply(scans / "scan_far.ply", base + [500.0, 0, 0])
+        names = D.process_tls(
+            tmp_path, "ETH", tmp_path / "out",
+            min_submaps_per_sample=2, max_submaps_per_sample=3,
+            num_samples=1, overlap_voxel_size=2.0, voxel_size=0.0,
+        )
+        assert len(names) == 1
+        plys = sorted((tmp_path / "out" / names[0]).glob("part_*.ply"))
+        assert 2 <= len(plys) <= 3

@@ -98,3 +98,30 @@ class TestOverlapVisualization:
         assert (tmp_path / "overlap_hist.png").exists()
         assert (tmp_path / "overlap_heatmap.png").exists()
         assert (tmp_path / "pairA_overlap_cloud.png").exists()
+
+
+class TestRasterRenderer:
+    def test_occlusion_and_shape(self):
+        from rap_tpu.utils.render import render_point_cloud_raster, visualize_point_clouds
+
+        # a near red point exactly in front of a far blue point: with the
+        # default camera (elev=25, azim=45) place both on the view axis
+        az, el = np.radians(45.0), np.radians(25.0)
+        fwd = -np.array([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)])
+        pts = np.stack([fwd * -1.0, fwd * 1.0])  # nearer first, farther second
+        cols = np.array([[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+        img = render_point_cloud_raster(pts, cols, image_size=64, point_size=4)
+        assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+        center = img[32, 32]
+        assert center[0] > 200 and center[2] < 60  # red (near) wins
+
+        via = visualize_point_clouds(pts, colors=cols, renderer="raster",
+                                     image_size=64, point_size=4)
+        np.testing.assert_array_equal(via, img)
+
+    def test_empty_cloud(self):
+        from rap_tpu.utils.render import render_point_cloud_raster
+
+        img = render_point_cloud_raster(np.zeros((0, 3)), image_size=32)
+        assert img.shape == (32, 32, 3)
+        assert (img == 255).all()
