@@ -219,9 +219,25 @@ def run_demo(args) -> int:
     Pp = _bucket(smp.num_parts, P_BUCKETS)
     batch, _ = collate_to_part_batch([smp], N=N, P=Pp, S=1)
 
+    ring_mesh = None
+    if args.sequence_sharded:
+        # multi-chip map merging: shard the parts + the global-attention
+        # sequence across all devices (S==1 here by construction)
+        from ..parallel.mesh import make_mesh, shard_batch
+
+        ring_mesh = make_mesh(len(jax.devices()))
+        batch = shard_batch(batch, ring_mesh)
+        logger.info(
+            "sequence-sharded over %d devices (ring attention)",
+            len(jax.devices()),
+        )
+
     @jax.jit
     def generate(params, batch, key):
-        out = sample(params, cfg.pipeline, batch, key, return_trajectory=False)
+        out = sample(
+            params, cfg.pipeline, batch, key, return_trajectory=False,
+            ring_mesh=ring_mesh,
+        )
         R, t = predict_poses(batch, out["points"])
         return out["points"], R, t
 
@@ -274,6 +290,25 @@ def run_demo(args) -> int:
             metric = metric @ T0_inv[:3, :3].T + T0_inv[:3, 3]
             plyio.write_ply(gen_dir / f.name, metric.astype(np.float32))
         logger.info("generated keypoint clouds written to %s", gen_dir)
+
+    if args.render_results:
+        # headless stand-in for the reference's Open3D toggle viewer
+        # (ref demo.py:392-514): occlusion-correct part-colored renders of
+        # the registered scene from two viewpoints
+        from ..utils.render import part_ids_to_colors, render_point_cloud_raster, save_image
+
+        regs = [
+            plyio.read_ply(reg_dir / f.name)["points"] for f in ply_files
+        ]
+        merged = np.concatenate(regs)
+        ids = np.concatenate([np.full(len(r), i) for i, r in enumerate(regs)])
+        cols = part_ids_to_colors(ids)
+        for elev, azim in ((25, 45), (25, 135)):
+            img = render_point_cloud_raster(
+                merged, cols, image_size=800, elev=elev, azim=azim
+            )
+            save_image(out_dir / f"registered_e{elev}_a{azim}.png", img)
+        logger.info("registered-scene renders written to %s", out_dir)
     return 0
 
 
@@ -302,6 +337,16 @@ def main(argv=None):
     ap.add_argument(
         "--output-generated", action="store_true",
         help="also write the generated keypoint clouds (ref --output_generated)",
+    )
+    ap.add_argument(
+        "--render-results", action="store_true",
+        help="render part-colored PNGs of the registered scene (headless "
+             "equivalent of the reference's Open3D viewer)",
+    )
+    ap.add_argument(
+        "--sequence-sharded", action="store_true",
+        help="shard the parts + global attention sequence across all devices "
+             "(ring attention) — for map-merge inputs too large for one chip",
     )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("-o", "--override", action="append", default=[])

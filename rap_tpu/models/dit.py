@@ -152,9 +152,17 @@ def _rms_qk(x, gamma):
 
 
 def _attention_block(
-    lp, prefix, x, t_emb, mask, cfg: DiTConfig, S: int, P: int, is_global: bool
+    lp, prefix, x, t_emb, mask, cfg: DiTConfig, S: int, P: int, is_global: bool,
+    ring_mesh=None,
 ):
-    """One AdaLN-prenorm attention sub-block; returns the residual branch."""
+    """One AdaLN-prenorm attention sub-block; returns the residual branch.
+
+    ``ring_mesh``: when set and this is the global attention of an S==1
+    batch, the P*N token sequence shards across the mesh's data axis and
+    attention runs as ring attention (ops/ring_attention.py) — the
+    multi-chip path for 100k+-point map-merging samples whose global
+    attention does not fit one chip.
+    """
     G, N, D = x.shape
     H, dh = cfg.num_heads, cfg.head_dim
     h = _adaln(lp[f"{prefix}_prenorm"], x, t_emb)
@@ -170,6 +178,14 @@ def _attention_block(
         k = k.reshape(S, P * N, H, dh)
         v = v.reshape(S, P * N, H, dh)
         kv_mask = mask.reshape(S, P * N)
+        if ring_mesh is not None:
+            assert S == 1, "sequence-sharded global attention requires S == 1"
+            from ..ops.ring_attention import ring_attention
+
+            out = ring_attention(
+                q, k, v, kv_mask, ring_mesh, softcap=cfg.softcap
+            )
+            return _linear(lp[f"{prefix}_out"], out.reshape(G, N, D))
     else:
         kv_mask = mask
     out = batched_attention(
@@ -199,11 +215,16 @@ def dit_forward(
     parts_per_sample: int,
     return_features: bool = False,
     remat: bool = False,
+    ring_mesh=None,
 ):
     """Predict the velocity field. Returns (G, N, out_dim) fp32 [, features].
 
     Requires the regular layout: G == S * parts_per_sample with
     ``sample_of_part == repeat(arange(S), P)`` (the packer guarantees this).
+
+    ``ring_mesh``: optional Mesh for sequence-sharded global attention
+    (S==1 ultra-long samples; see _attention_block). Part attention and all
+    matmuls shard along the part axis under ordinary GSPMD either way.
     """
     G, N, _ = x.shape
     S, P = timesteps.shape[0], parts_per_sample
@@ -236,7 +257,9 @@ def dit_forward(
     # ---- transformer layers (scan over stacked params) --------------------
     def layer_fn(h, lp):
         h = h + _attention_block(lp, "self", h, t_emb, mask, cfg, S, P, False)
-        h = h + _attention_block(lp, "global", h, t_emb, mask, cfg, S, P, True)
+        h = h + _attention_block(
+            lp, "global", h, t_emb, mask, cfg, S, P, True, ring_mesh=ring_mesh
+        )
         h = h + _geglu_ff(lp, h)
         return h, None
 

@@ -1,1 +1,2 @@
 from .attention import batched_attention
+from .ring_attention import ring_attention

@@ -107,8 +107,16 @@ def make_global_batch(local: PartBatch, mesh: Mesh, S_global: int | None = None)
     logical array.
     """
     lead = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+    n_data = mesh.shape[DATA_AXIS]
+
+    def spec_for(x):
+        # leaves whose leading axis can't split (e.g. per-sample arrays of an
+        # S=1 map-merge batch) replicate; everything else shards on axis 0
+        return lead if np.asarray(x).shape[0] % n_data == 0 else repl
+
     if jax.process_count() == 1:
-        return jax.tree.map(lambda x: jax.device_put(x, lead), local)
+        return jax.tree.map(lambda x: jax.device_put(x, spec_for(x)), local)
 
     n = jax.process_count()
 

@@ -98,6 +98,7 @@ def sample(
     return_trajectory: bool = True,
     return_transformer_features: bool = False,
     num_steps: int | None = None,
+    ring_mesh=None,
 ) -> dict[str, Any]:
     """Generate a registered scene by integrating the learned flow.
 
@@ -107,7 +108,9 @@ def sample(
     if x_1 is None:
         x_1 = jax.random.normal(rng, batch.points.shape, jnp.float32)
     steps = num_steps or cfg.inference_sampling_steps
-    vfn = velocity_fn(params, cfg, batch)
+    # ring_mesh: sequence-sharded global attention for S==1 ultra-long
+    # samples (multi-chip map merging; models/dit.py _attention_block)
+    vfn = velocity_fn(params, cfg, batch, ring_mesh=ring_mesh)
     res: SampleResult = flow_sampler(
         vfn,
         x_1=x_1,

@@ -1,2 +1,4 @@
 from .optim import build_optimizer, OptimizerConfig
 from .step import TrainState, make_train_step, make_eval_step
+from .tracking import ExperimentTracker, find_run_id
+from .weights import resolve_checkpoint

@@ -287,3 +287,41 @@ class TestReferenceModuleParity:
         t_emb = sinusoidal_timestep_embedding(jnp.asarray([0.42]), C)  # (1, C)
         ours = np.asarray(_adaln(lp, jnp.asarray(xs), t_emb)).reshape(-1, D)
         np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
+class TestLightningCkptLoading:
+    def test_fake_lightning_ckpt_roundtrip(self, tmp_path):
+        """torch.save a Lightning-style ckpt (state_dict nested, flow_model.
+        prefix) built from exported weights; load_torch_checkpoint must
+        reproduce the original pytree exactly."""
+        from rap_tpu.train.checkpoint import load_torch_checkpoint
+
+        params = init_dit_params(jax.random.key(5), CFG)
+        sd = {
+            "flow_model." + k: torch.as_tensor(np.asarray(v))
+            for k, v in export_torch_state_dict(params, CFG.num_layers).items()
+        }
+        # Lightning ckpt shape: extra keys + nested state_dict
+        ckpt = {
+            "state_dict": sd,
+            "epoch": 123,
+            "optimizer_states": [{}],
+            "hyper_parameters": {"lr": 1e-4},
+        }
+        p = tmp_path / "rap_model_test.ckpt"
+        torch.save(ckpt, p)
+        restored = load_torch_checkpoint(p, CFG.num_layers)
+        flat_a = {
+            jax.tree_util.keystr(k): v
+            for k, v in jax.tree_util.tree_flatten_with_path(params)[0]
+        }
+        flat_b = {
+            jax.tree_util.keystr(k): v
+            for k, v in jax.tree_util.tree_flatten_with_path(restored)[0]
+        }
+        assert flat_a.keys() == flat_b.keys()
+        for k in flat_a:
+            np.testing.assert_allclose(
+                np.asarray(flat_a[k]), np.asarray(flat_b[k]),
+                atol=1e-6, err_msg=k,
+            )

@@ -1,0 +1,91 @@
+"""Learning-signal oracle: a tiny model overfits one batch.
+
+The strongest end-to-end correctness evidence available without released
+weights (SURVEY.md §7.1 phase 6): if any piece of the training stack —
+flow-target algebra, attention masking, AdaLN conditioning, optimizer,
+gradient flow through the scanned layers — were broken, the velocity loss
+would not collapse on a single memorized batch.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rap_tpu.core.batch import make_regular_synthetic_batch
+from rap_tpu.models import DiTConfig
+from rap_tpu.models.dit import init_dit_params
+from rap_tpu.registration import RPFConfig, predict_poses, sample
+from rap_tpu.train import OptimizerConfig, TrainState, build_optimizer, make_train_step
+
+
+@pytest.mark.slow
+def test_overfit_one_batch_loss_collapses():
+    model = DiTConfig(
+        num_layers=2, embed_dim=64, num_heads=4, local_feat_dim=8,
+        compute_dtype=jnp.float32,
+    )
+    cfg = RPFConfig(model=model, timestep_sampling="uniform")
+    batch = make_regular_synthetic_batch(
+        jax.random.key(0), [[48, 40], [48, 32]], N=48, P=2, S=2, feat_dim=8
+    )
+    tx = build_optimizer(
+        OptimizerConfig(name="adamw", lr=2e-3, grad_clip=1.0),
+        steps_per_epoch=1,
+    )
+    params = init_dit_params(jax.random.key(1), model)
+    state = TrainState.create(params, tx, jax.random.key(2))
+    # fixed RNG => the same (t, noise) draw every step: pure memorization
+    step = make_train_step(cfg, tx)
+    losses = []
+    for i in range(150):
+        state, metrics = step(state, batch)
+        # re-pin the RNG key (the step donates its input state buffers, so a
+        # saved reference would be a deleted buffer): same (t, noise) draw
+        # every step => pure memorization
+        state = state.replace(rng=jax.random.key(2))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.05 * losses[0], (
+        f"loss failed to collapse: {losses[0]:.4f} -> {losses[-1]:.4f}"
+    )
+
+
+@pytest.mark.slow
+def test_trained_model_improves_registration():
+    """After real (varied-noise) training on one batch, generation + Kabsch
+    should register the memorized scene far better than random init."""
+    model = DiTConfig(
+        num_layers=2, embed_dim=64, num_heads=4, local_feat_dim=8,
+        compute_dtype=jnp.float32,
+    )
+    cfg = RPFConfig(
+        model=model, inference_sampling_steps=8, rigidity_forcing=True,
+        timestep_sampling="uniform",
+    )
+    batch = make_regular_synthetic_batch(
+        jax.random.key(0), [[48, 40]], N=48, P=2, S=1, feat_dim=8
+    )
+    tx = build_optimizer(
+        OptimizerConfig(name="adamw", lr=2e-3, grad_clip=1.0),
+        steps_per_epoch=1,
+    )
+    params0 = init_dit_params(jax.random.key(1), model)
+    state = TrainState.create(params0, tx, jax.random.key(2))
+    step = make_train_step(cfg, tx)
+
+    def chamfer_of(params):
+        from rap_tpu.eval import metrics as M
+
+        out = sample(params, cfg, batch, jax.random.key(7),
+                     return_trajectory=False)
+        return float(M.chamfer_rmse(batch, out["points"])[0])
+
+    cd_before = chamfer_of(params0)
+    for _ in range(400):
+        state, metrics = step(state, batch)
+    cd_after = chamfer_of(state.params)
+    assert np.isfinite(cd_after)
+    assert cd_after < 0.5 * cd_before, (
+        f"registration did not improve: chamfer {cd_before:.4f} -> {cd_after:.4f}"
+    )
