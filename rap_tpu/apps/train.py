@@ -143,6 +143,7 @@ def run_train(cfg: Config, max_steps: int | None = None) -> TrainState:
         config=cfg,
         resume_id=find_run_id(ckpt_dir) if cfg.checkpoint else None,
         rank_zero=jax.process_index() == 0,
+        jsonl_path=cfg.trainer.log_file or None,
     )
 
     best_monitor = float("inf")

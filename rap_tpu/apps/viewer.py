@@ -53,12 +53,23 @@ class ResultSample:
     transforms: list[np.ndarray] | None     # (4,4) per part, or None
 
 
+def _part_index(f: Path) -> int:
+    m = re.search(r"part(\d+)", f.name)
+    return int(m.group(1)) if m else -1
+
+
+def _sorted_by_part(files) -> list[Path]:
+    """NUMERIC part order — lexicographic sorting breaks at part10 vs part2
+    (the evaluator's pose files are zero-padded but demo outputs are not)."""
+    return sorted(files, key=lambda f: (_part_index(f), f.name))
+
+
 def _load_transform_files(d: Path, pattern: str) -> dict[int, np.ndarray]:
     out = {}
-    for f in sorted(d.glob(pattern)):
-        m = re.search(r"part(\d+)", f.name)
-        if m:
-            out[int(m.group(1))] = np.loadtxt(f)
+    for f in d.glob(pattern):
+        idx = _part_index(f)
+        if idx >= 0:
+            out[idx] = np.loadtxt(f)
     return out
 
 
@@ -74,7 +85,7 @@ def load_result_sample(sample_dir, generation: str | int = 0) -> ResultSample:
     gen_dir = sample_dir / f"generation_{generation}"
     if gen_dir.is_dir():
         poses = _load_transform_files(gen_dir, "part*_pose.txt")
-        part_files = sorted(gen_dir.glob("part*_pred.ply"))
+        part_files = _sorted_by_part(gen_dir.glob("part*_pred.ply"))
         if part_files:
             parts = [plyio.read_ply(f)["points"] for f in part_files]
         else:
@@ -85,7 +96,8 @@ def load_result_sample(sample_dir, generation: str | int = 0) -> ResultSample:
     reg_dir = sample_dir / "registered"
     if reg_dir.is_dir():
         parts = [
-            plyio.read_ply(f)["points"] for f in sorted(reg_dir.glob("*.ply"))
+            plyio.read_ply(f)["points"]
+            for f in _sorted_by_part(reg_dir.glob("*.ply"))
         ]
         poses = _load_transform_files(sample_dir, "part*_transform.txt")
         T = [poses[k] for k in sorted(poses)] if poses else None

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import json
 import logging
-import shutil
 import struct
 import zipfile
 from pathlib import Path
@@ -95,7 +94,9 @@ def read_obj(path) -> tuple[np.ndarray, np.ndarray]:
 
 
 def read_ascii_points(path) -> np.ndarray:
-    """PTS/XYZ/TXT: whitespace rows of x y z [extras]; optional count header."""
+    """PTS/XYZ/TXT: whitespace rows of x y z [extras]; optional count header.
+    Returns float64 — georeferenced coordinates must keep full precision
+    until the global shift is applied."""
     with open(path) as fh:
         first = fh.readline().split()
         rows = []
@@ -109,14 +110,19 @@ def read_ascii_points(path) -> np.ndarray:
                 rows.append(tok[:3])
     if not rows:
         raise ValueError(f"{path}: no points parsed")
-    return np.asarray(rows, np.float64).astype(np.float32)
+    return np.asarray(rows, np.float64)
 
 
-def convert_to_ply(
-    src, dst, mesh_sample_points: int = 100_000, rng=None
-) -> Path:
-    """Convert any supported upload to a point-cloud PLY at ``dst``."""
-    src, dst = Path(src), Path(dst)
+def convert_to_points(
+    src, mesh_sample_points: int = 100_000, rng=None
+) -> dict:
+    """Convert any supported upload to in-memory arrays: {'points' (N,3)
+    float64 [, 'normals', 'colors']}.
+
+    float64 matters: large (UTM-style) coordinates quantize to ~6 cm at
+    float32, so precision must survive until AFTER the global shift.
+    """
+    src = Path(src)
     ext = src.suffix.lower()
     if ext == ".ply":
         data = plyio.read_ply(src)
@@ -125,22 +131,27 @@ def convert_to_ply(
             pts, nrm = sample_mesh_surface(
                 data["points"], faces, mesh_sample_points, rng
             )
-            plyio.write_ply(dst, pts, normals=nrm)
-        elif src.resolve() != dst.resolve():
-            shutil.copyfile(src, dst)
-    elif ext == ".obj":
+            return {"points": pts.astype(np.float64), "normals": nrm}
+        return {
+            "points": data["points"].astype(np.float64),
+            "normals": data.get("normals"),
+            "colors": data.get("colors"),
+        }
+    if ext == ".obj":
         v, f = read_obj(src)
         if len(f):
             pts, nrm = sample_mesh_surface(v, f, mesh_sample_points, rng)
-            plyio.write_ply(dst, pts, normals=nrm)
-        else:
-            plyio.write_ply(dst, v.astype(np.float32))
-    elif ext == ".pcd":
+            return {"points": pts.astype(np.float64), "normals": nrm}
+        return {"points": v}
+    if ext == ".pcd":
         data = plyio.read_pcd(src)
-        plyio.write_ply(dst, data["points"], colors=data.get("colors"))
-    elif ext in (".pts", ".xyz", ".txt"):
-        plyio.write_ply(dst, read_ascii_points(src))
-    elif ext in (".las", ".laz"):
+        return {
+            "points": data["points"].astype(np.float64),
+            "colors": data.get("colors"),
+        }
+    if ext in (".pts", ".xyz", ".txt"):
+        return {"points": read_ascii_points(src)}
+    if ext in (".las", ".laz"):
         try:
             import laspy
         except ImportError as e:
@@ -148,9 +159,8 @@ def convert_to_ply(
                 f"converting {src.name} requires the 'laspy' package"
             ) from e
         las = laspy.read(str(src))
-        pts = np.stack([las.x, las.y, las.z], axis=-1).astype(np.float32)
-        plyio.write_ply(dst, pts)
-    elif ext == ".e57":
+        return {"points": np.stack([las.x, las.y, las.z], axis=-1).astype(np.float64)}
+    if ext == ".e57":
         try:
             import pye57
         except ImportError as e:
@@ -159,12 +169,26 @@ def convert_to_ply(
             ) from e
         e57 = pye57.E57(str(src))
         scan = e57.read_scan(0, ignore_missing_fields=True)
-        pts = np.stack(
-            [scan["cartesianX"], scan["cartesianY"], scan["cartesianZ"]], -1
-        ).astype(np.float32)
-        plyio.write_ply(dst, pts)
-    else:
-        raise ValueError(f"unsupported input format: {src.name}")
+        return {
+            "points": np.stack(
+                [scan["cartesianX"], scan["cartesianY"], scan["cartesianZ"]], -1
+            ).astype(np.float64)
+        }
+    raise ValueError(f"unsupported input format: {src.name}")
+
+
+def convert_to_ply(
+    src, dst, mesh_sample_points: int = 100_000, rng=None
+) -> Path:
+    """Convert any supported upload to a point-cloud PLY at ``dst``."""
+    src, dst = Path(src), Path(dst)
+    if src.suffix.lower() == ".ply" and src.resolve() == Path(dst).resolve():
+        return dst
+    data = convert_to_points(src, mesh_sample_points, rng)
+    plyio.write_ply(
+        dst, data["points"].astype(np.float32),
+        normals=data.get("normals"), colors=data.get("colors"),
+    )
     return dst
 
 
@@ -181,11 +205,11 @@ def detect_large_coordinates(ply_dir, threshold: float = LARGE_COORD_THRESHOLD) 
 
 
 def calculate_global_shift(ply_dir) -> np.ndarray | None:
-    mins = [
-        plyio.read_ply(f)["points"].min(axis=0)
-        for f in sorted(Path(ply_dir).glob("*.ply"))
-        if len(plyio.read_ply(f)["points"])
-    ]
+    mins = []
+    for f in sorted(Path(ply_dir).glob("*.ply")):
+        pts = plyio.read_ply(f)["points"]
+        if len(pts):
+            mins.append(pts.min(axis=0))
     return np.minimum.reduce(mins) if mins else None
 
 
@@ -375,19 +399,30 @@ def run_rap_demo(
 
     if len(input_files) < 2:
         raise ValueError("need at least two point clouds to register")
+    # single pass: convert to float64 arrays, decide on the global shift over
+    # ALL clouds, then write float32 PLYs once — large (georeferenced)
+    # coordinates must be shifted BEFORE the float32 quantization
+    clouds = []
     for i, src in enumerate(input_files):
         src = Path(src)
-        dst = in_dir / f"part{i}.ply"
-        convert_to_ply(src, dst, rng=np.random.default_rng(seed + i))
-        log.append(f"converted {src.name} -> {dst.name}")
-
+        data = convert_to_points(src, rng=np.random.default_rng(seed + i))
+        clouds.append(data)
+        log.append(f"converted {src.name} ({len(data['points'])} points)")
     shift = None
-    if detect_large_coordinates(in_dir):
-        shift = calculate_global_shift(in_dir)
-        n = apply_global_shift(in_dir, shift)
+    if any(
+        len(d["points"]) and np.any(np.abs(d["points"]) > LARGE_COORD_THRESHOLD)
+        for d in clouds
+    ):
+        shift = np.minimum.reduce(
+            [d["points"].min(axis=0) for d in clouds if len(d["points"])]
+        )
         save_global_shift(shift, out_dir)
-        log.append(
-            f"large coordinates detected; shifted {n} clouds by {-shift}"
+        log.append(f"large coordinates detected; shifting all clouds by {-shift}")
+    for i, data in enumerate(clouds):
+        pts = data["points"] - shift if shift is not None else data["points"]
+        plyio.write_ply(
+            in_dir / f"part{i}.ply", pts.astype(np.float32),
+            normals=data.get("normals"), colors=data.get("colors"),
         )
 
     from .demo import main as demo_main

@@ -155,9 +155,24 @@ class BatchLoader:
             idx = plan.indices[lo : lo + per]
             samples = [ds.get(i, epoch=epoch) for i in idx]
             # shapes MUST come from the plan: other processes hold other
-            # samples and a data-derived bucket would diverge across hosts
+            # samples and a data-derived bucket would diverge across hosts.
+            # A plan-size undershoot (estimates come from num_points files or
+            # a default) is unfixable here — fail with an actionable message
+            # instead of an AssertionError in the prefetch thread.
+            oversized = [
+                s.name for s in samples if s.max_part_points > plan.N
+            ]
+            if oversized:
+                raise ValueError(
+                    f"planned bucket N={plan.N} is smaller than the true max "
+                    f"part size of {oversized[:3]}; multi-process slice mode "
+                    "cannot rebucket (shapes must agree across hosts). "
+                    "Provide accurate num_points files or raise "
+                    "max_points_per_batch / preprocess parts to a fixed size."
+                )
             batch, names = collate_to_part_batch(
-                samples, plan.N, plan.P, per, sample_offset=lo
+                samples, plan.N, plan.P, per, sample_offset=lo,
+                feat_dim=ds.cfg.feat_dim,
             )
             self.padding_stats.add(batch)
             return [(batch, names, ds.cfg.dataset_name)]
@@ -168,7 +183,9 @@ class BatchLoader:
             true_n = max(s.max_part_points for s in group)
             N = _bucket(true_n, N_BUCKETS)
             S = -(-len(group) // self.cfg.s_multiple) * self.cfg.s_multiple
-            batch, names = collate_to_part_batch(group, N, plan.P, S)
+            batch, names = collate_to_part_batch(
+                group, N, plan.P, S, feat_dim=ds.cfg.feat_dim
+            )
             self.padding_stats.add(batch)
             out.append((batch, names, ds.cfg.dataset_name))
         return out

@@ -55,7 +55,7 @@ def load_gt_log(gt_dir) -> dict[str, np.ndarray]:
     lines = log_file.read_text().splitlines()
     result: dict[str, np.ndarray] = {}
     i = 0
-    while i + 4 < len(lines) or (i + 4 == len(lines) - 0 and i < len(lines)):
+    while i + 4 < len(lines):  # a block needs the header + 4 matrix rows
         head = lines[i].split()
         if len(head) < 2:
             break
@@ -64,8 +64,6 @@ def load_gt_log(gt_dir) -> dict[str, np.ndarray]:
         )
         result[f"{int(head[0])}_{int(head[1])}"] = T
         i += 5
-        if i >= len(lines):
-            break
     return result
 
 
@@ -133,19 +131,15 @@ def _save_pair_sample(
 ) -> str:
     """One 2-part training sample in the reference folder layout: the source
     is pre-aligned into the target frame (both registered — the runtime
-    dataset applies its own augmentation), optional global frame fix."""
+    dataset applies its own augmentation), optional global frame fix
+    (applied as a full 4x4 by io.save_training_sample)."""
     if voxel_size > 0:
         src_pts = voxel_downsample(src_pts, voxel_size)
         tgt_pts = voxel_downsample(tgt_pts, voxel_size)
-    if global_transform is not None:
-        Rg = np.asarray(global_transform)[:3, :3]
-        src_pts = src_pts @ Rg.T
-        tgt_pts = tgt_pts @ Rg.T
     name = f"sample_{sample_idx:06d}"
-    d = out_dir / name
-    d.mkdir(parents=True, exist_ok=True)
-    plyio.write_ply(d / "part_00.ply", src_pts.astype(np.float32))
-    plyio.write_ply(d / "part_01.ply", tgt_pts.astype(np.float32))
+    save_training_sample(
+        out_dir, name, [src_pts, tgt_pts], global_transform=global_transform
+    )
     return name
 
 

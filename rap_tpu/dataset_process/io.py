@@ -48,9 +48,10 @@ def save_training_sample(
             nrm = np.asarray(normals[i], np.float32)
             if global_transform is not None:
                 nrm = nrm @ global_transform[:3, :3].T
-        plyio.write_ply(d / f"part_{i}.ply", p, normals=nrm)
+        # zero-padded: plain lexicographic listings keep part order at >=10 parts
+        plyio.write_ply(d / f"part_{i:02d}.ply", p, normals=nrm)
         if poses is not None and poses[i] is not None:
-            np.savetxt(d / f"pose_{i}.txt", np.asarray(poses[i]), fmt="%.8f")
+            np.savetxt(d / f"pose_{i:02d}.txt", np.asarray(poses[i]), fmt="%.8f")
     return d
 
 

@@ -312,8 +312,10 @@ class Evaluator:
             if self.cfg.save_pointcloud_parts:
                 for p in range(P):
                     if pv[s, p]:
+                        # zero-padded like the transform files so plain
+                        # lexicographic listings stay in part order
                         plyio.write_ply(
-                            d / f"part{p}_pred.ply",
+                            d / f"part{p:02d}_pred.ply",
                             pred_sp[s, p][mask[s, p]] * scale[s],
                         )
             if self.cfg.save_merged_pointcloud_steps:

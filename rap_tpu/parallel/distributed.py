@@ -46,13 +46,21 @@ def initialize(
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
-    already = jax._src.distributed.global_state.client is not None
-    if not already and (coordinator_address or num_processes):
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+    if coordinator_address or num_processes:
+        try:
+            already = jax.distributed.is_initialized()
+        except AttributeError:  # older JAX without the public probe
+            already = False
+        if not already:
+            try:
+                jax.distributed.initialize(
+                    coordinator_address=coordinator_address,
+                    num_processes=num_processes,
+                    process_id=process_id,
+                )
+            except RuntimeError as e:
+                if "already" not in str(e).lower():
+                    raise  # double-init is fine; anything else is real
     return jax.process_index(), jax.process_count()
 
 
@@ -95,7 +103,7 @@ def slice_local_batch(batch: PartBatch, process_index: int | None = None, proces
     return jax.tree.map(sl, batch)
 
 
-def make_global_batch(local: PartBatch, mesh: Mesh, S_global: int | None = None) -> PartBatch:
+def make_global_batch(local: PartBatch, mesh: Mesh) -> PartBatch:
     """Assemble per-process local PartBatch shards into global jax.Arrays.
 
     ``local`` holds this process's contiguous slice of the sample axis (and
@@ -122,7 +130,15 @@ def make_global_batch(local: PartBatch, mesh: Mesh, S_global: int | None = None)
 
     def shard(x):
         x = np.asarray(x)
-        global_shape = (x.shape[0] * n,) + x.shape[1:]
+        g0 = x.shape[0] * n
+        # local slices cannot be replicated after the fact — the loader's
+        # s_multiple (a multiple of the device count in the trainer) must
+        # make every leading axis shardable; fail loudly otherwise
+        assert g0 % n_data == 0, (
+            f"global leading dim {g0} not divisible by the {n_data}-device "
+            "data axis; set the loader's s_multiple to the device count"
+        )
+        global_shape = (g0,) + x.shape[1:]
         return jax.make_array_from_process_local_data(lead, x, global_shape)
 
     return jax.tree.map(shard, local)

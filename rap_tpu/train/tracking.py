@@ -56,6 +56,7 @@ class ExperimentTracker:
         resume_id: str | None = None,
         snapshot: bool = True,
         rank_zero: bool = True,
+        jsonl_path: str | Path | None = None,
     ):
         self.run_dir = Path(run_dir)
         self.rank_zero = rank_zero
@@ -64,7 +65,9 @@ class ExperimentTracker:
         if not rank_zero:
             return
         self.run_dir.mkdir(parents=True, exist_ok=True)
-        self._jsonl = open(self.run_dir / "metrics.jsonl", "a")
+        jsonl = Path(jsonl_path) if jsonl_path else self.run_dir / "metrics.jsonl"
+        jsonl.parent.mkdir(parents=True, exist_ok=True)
+        self._jsonl = open(jsonl, "a")
         cfg_dict = (
             dataclasses.asdict(config)
             if dataclasses.is_dataclass(config) else (config or {})

@@ -278,3 +278,37 @@ class TestLoader:
                     assert np.all(np.asarray(cat)[:, n:] == 0) or field == "point_mask"
                     g, cat = g[:, :n], cat[:, :n]
                 np.testing.assert_array_equal(g, cat, err_msg=field)
+
+
+class TestSliceModeGuards:
+    def test_oversized_part_raises_actionable_error(self, tmp_path):
+        """Multi-process slice mode cannot rebucket; a plan-size undershoot
+        must fail with a clear message, not an AssertionError in the
+        prefetch thread."""
+        import pytest
+
+        rng = np.random.default_rng(3)
+        # one scene with a big part; no num_points file -> 5000-point default
+        # estimate; budget forces a small planned bucket
+        d = tmp_path / "scene_000"
+        d.mkdir(parents=True)
+        plyio.write_ply(d / "part_0.ply", rng.standard_normal((700, 3)).astype(np.float32))
+        plyio.write_ply(d / "part_1.ply", rng.standard_normal((100, 3)).astype(np.float32))
+        (tmp_path / "data_split").mkdir()
+        (tmp_path / "data_split" / "train.txt").write_text("scene_000\n")
+        # fake num_points so the estimate (total/parts = 200) undershoots the
+        # true 700-point part
+        (tmp_path / "num_points").mkdir()
+        (tmp_path / "num_points" / "train.txt").write_text("400\n")
+        ds = PointCloudDataset(
+            DatasetConfig(data_path=str(tmp_path), dataset_name="toy", split="train")
+        )
+        loader = BatchLoader(
+            [ds],
+            LoaderConfig(
+                max_points_per_batch=4096, s_multiple=2,
+                process_index=0, process_count=2, shard_mode="slice",
+            ),
+        )
+        with pytest.raises(ValueError, match="cannot rebucket"):
+            list(loader.epoch(0))

@@ -143,3 +143,19 @@ class TestEndToEnd:
             names = z.namelist()
         assert any(n.startswith("registered/") for n in names)
         assert "global_shift.txt" in names
+
+
+class TestLargeCoordinatePrecision:
+    def test_conversion_keeps_float64_until_shift(self, tmp_path):
+        """UTM-scale coordinates must not quantize before the global shift:
+        two points 1 mm apart at x~5e5 m stay 1 mm apart after conversion
+        (float32 would snap them ~6 cm)."""
+        src = tmp_path / "utm.pts"
+        src.write_text("2\n500000.000 4000000.000 10.0\n500000.001 4000000.000 10.0\n")
+        data = webapp.convert_to_points(src)
+        assert data["points"].dtype == np.float64
+        d = data["points"][1, 0] - data["points"][0, 0]
+        np.testing.assert_allclose(d, 0.001, rtol=1e-6)
+        # after shifting by the min corner, float32 storage preserves the mm
+        shifted = (data["points"] - data["points"].min(0)).astype(np.float32)
+        np.testing.assert_allclose(shifted[1, 0] - shifted[0, 0], 0.001, rtol=1e-4)
