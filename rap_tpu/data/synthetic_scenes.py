@@ -1,0 +1,154 @@
+"""Procedural multi-view registration scenes (for training demos and tests).
+
+The reference trains on real scan datasets that cannot ship with a repo; this
+generator produces structured indoor-style scenes (ground plane + random
+boxes/spheres) split into overlapping partial views, written in the standard
+training-sample folder layout (dataset_process.io). A model trained on this
+distribution demonstrably learns registration (scripts/train_synthetic_demo.py)
+— end-to-end evidence for the whole train->eval stack with non-random weights.
+
+Views are world-frame (registered GT); the runtime augmentation generates the
+unposed condition clouds, exactly like real preprocessed data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..dataset_process.io import save_training_sample
+from ..dataset_process.splits import write_split_files
+
+
+def _sample_box(rng, center, size, n):
+    """Surface-sample an axis-aligned box: pick faces by area."""
+    sx, sy, sz = size
+    areas = np.array([sy * sz, sy * sz, sx * sz, sx * sz, sx * sy, sx * sy])
+    face = rng.choice(6, size=n, p=areas / areas.sum())
+    u = rng.uniform(-0.5, 0.5, (n, 2))
+    pts = np.empty((n, 3))
+    half = np.asarray(size) / 2
+    for f in range(6):
+        m = face == f
+        axis = f // 2
+        sign = 1.0 if f % 2 == 0 else -1.0
+        others = [a for a in range(3) if a != axis]
+        pts[m, axis] = sign * half[axis]
+        pts[m, others[0]] = u[m, 0] * size[others[0]]
+        pts[m, others[1]] = u[m, 1] * size[others[1]]
+    return pts + np.asarray(center)
+
+
+def _sample_sphere(rng, center, radius, n):
+    v = rng.standard_normal((n, 3))
+    v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-9)
+    return v * radius + np.asarray(center)
+
+
+def make_scene(rng: np.random.Generator, extent: float = 6.0,
+               n_objects: int = 8, points: int = 20_000) -> np.ndarray:
+    """One structured scene (N,3): floor + walls + random boxes/spheres."""
+    chunks = []
+    n_floor = points // 4
+    floor = np.stack([
+        rng.uniform(-extent, extent, n_floor),
+        rng.uniform(-extent, extent, n_floor),
+        np.zeros(n_floor),
+    ], axis=1)
+    chunks.append(floor)
+    # two walls for global orientation cues
+    n_wall = points // 8
+    for axis in (0, 1):
+        w = np.stack([
+            rng.uniform(-extent, extent, n_wall),
+            rng.uniform(-extent, extent, n_wall),
+            rng.uniform(0, extent / 2, n_wall),
+        ], axis=1)
+        w[:, axis] = -extent
+        chunks.append(w)
+    n_obj = (points - n_floor - 2 * n_wall) // max(n_objects, 1)
+    for _ in range(n_objects):
+        c = [rng.uniform(-extent * 0.8, extent * 0.8),
+             rng.uniform(-extent * 0.8, extent * 0.8),
+             rng.uniform(0.2, 1.5)]
+        if rng.random() < 0.5:
+            chunks.append(
+                _sample_box(rng, c, rng.uniform(0.3, 1.5, 3), n_obj)
+            )
+        else:
+            chunks.append(_sample_sphere(rng, c, rng.uniform(0.2, 0.8), n_obj))
+    return np.concatenate(chunks).astype(np.float64)
+
+
+def split_into_views(
+    scene: np.ndarray,
+    rng: np.random.Generator,
+    n_views: int = 2,
+    keep_radius_frac: tuple[float, float] = (0.55, 0.8),
+    max_points_per_view: int = 2048,
+    noise: float = 0.01,
+    min_overlap_points: int = 200,
+    max_tries: int = 20,
+) -> list[np.ndarray] | None:
+    """Partial views: each keeps points within a random radius of a random
+    center (a crude scan footprint), subsampled + sensor noise. Returns None
+    if no overlapping configuration is found."""
+    extent = np.abs(scene[:, :2]).max()
+    for _ in range(max_tries):
+        views = []
+        masks = []
+        for _v in range(n_views):
+            c = np.array([
+                rng.uniform(-extent * 0.4, extent * 0.4),
+                rng.uniform(-extent * 0.4, extent * 0.4),
+                0.0,
+            ])
+            r = extent * rng.uniform(*keep_radius_frac)
+            m = np.linalg.norm(scene[:, :2] - c[:2], axis=1) < r
+            masks.append(m)
+            if m.sum() < min_overlap_points:
+                break
+        else:
+            # every pair of consecutive views must share geometry
+            ok = all(
+                (masks[i] & masks[i + 1]).sum() >= min_overlap_points
+                for i in range(n_views - 1)
+            )
+            if not ok:
+                continue
+            for m in masks:
+                pts = scene[m]
+                if len(pts) > max_points_per_view:
+                    pts = pts[rng.choice(len(pts), max_points_per_view, replace=False)]
+                pts = pts + rng.standard_normal(pts.shape) * noise
+                views.append(pts)
+            return views
+    return None
+
+
+def generate_dataset(
+    root,
+    n_scenes: int = 200,
+    n_views: int = 2,
+    max_points_per_view: int = 2048,
+    val_fraction: float = 0.1,
+    seed: int = 0,
+) -> list[str]:
+    """Write a complete on-disk training dataset (samples + split files)."""
+    from pathlib import Path
+
+    rng = np.random.default_rng(seed)
+    root = Path(root)
+    names = []
+    for i in range(n_scenes):
+        scene = make_scene(rng)
+        views = split_into_views(
+            scene, rng, n_views=n_views, max_points_per_view=max_points_per_view
+        )
+        if views is None:
+            continue
+        name = f"scene_{i:05d}"
+        save_training_sample(root, name, views)
+        names.append(name)
+    n_val = max(1, int(round(len(names) * val_fraction)))
+    write_split_files(root, names[:-n_val], names[-n_val:])
+    return names

@@ -352,11 +352,28 @@ def _flash_hm_fwd(qh, kh, vh, maski, softcap, block_q, block_k, interpret):
     return out, (qh, kh, vh, maski, out, lse)
 
 
+def _divisor_cap(block: int, cap: int) -> int:
+    """Largest divisor of ``block`` that is <= cap (block is a multiple of
+    128, so a power-of-two-ish divisor always exists)."""
+    if block <= cap:
+        return block
+    for cand in (cap, cap // 2, cap // 4, 256, 128):
+        if cand and block % cand == 0:
+            return cand
+    return 128
+
+
 def _flash_hm_bwd(softcap, block_q, block_k, interpret, res, dout):
     qh, kh, vh, maski, out, lse = res
+    # the backward kernels keep ~4 live (BQ, BK) fp32 tiles (logits, p, dp,
+    # dz) — the forward's large blocks blow the ~16 MB scoped-VMEM limit on
+    # v5e (measured: 18.4M at (1024, 2048)). Use smaller blocks that still
+    # divide the forward-padded sequence lengths.
+    bq = _divisor_cap(block_q, 512)
+    bk = _divisor_cap(block_k, 512)
     dq, dk, dv = _bwd_impl(
         qh, kh, vh, maski, out, lse, dout.astype(qh.dtype),
-        softcap, block_q, block_k, interpret,
+        softcap, bq, bk, interpret,
     )
     dmask = jnp.zeros(maski.shape, dtype=jax.dtypes.float0)
     return dq, dk, dv, dmask

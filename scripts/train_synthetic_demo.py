@@ -1,0 +1,141 @@
+"""Train a registration model from scratch on procedural scenes (real TPU).
+
+End-to-end demonstration that the full stack learns: generate structured
+multi-view scenes -> train a 6-layer DiT with the Pallas attention kernels
+(fwd+bwd) -> evaluate registration recall on held-out scenes with the full
+ODE sampler + Kabsch + metric suite. Writes an orbax checkpoint and a JSON
+summary.
+
+Usage: timeout 5400 python scripts/train_synthetic_demo.py \
+           [--steps 4000] [--scenes 400] [--out demo_run]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+logger = logging.getLogger("train_synthetic_demo")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--scenes", type=int, default=400)
+    ap.add_argument("--points-per-view", type=int, default=2048)
+    ap.add_argument("--out", default="demo_run")
+    ap.add_argument("--layers", type=int, default=6)
+    ap.add_argument("--eval-only", default="", help="checkpoint dir to eval")
+    args = ap.parse_args(argv)
+
+    from rap_tpu.data import BatchLoader, DatasetConfig, LoaderConfig, PointCloudDataset
+    from rap_tpu.data.synthetic_scenes import generate_dataset
+    from rap_tpu.eval import Evaluator, EvalConfig, MetricsMeter
+    from rap_tpu.eval.meter import print_eval_table
+    from rap_tpu.models import DiTConfig
+    from rap_tpu.models.dit import init_dit_params, param_count
+    from rap_tpu.registration import RPFConfig, predict_poses, sample
+    from rap_tpu.train import (
+        OptimizerConfig, TrainState, build_optimizer, make_train_step,
+    )
+    from rap_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from rap_tpu.train.tracking import ExperimentTracker
+
+    out = Path(args.out)
+    data_root = out / "data"
+    if not (data_root / "data_split" / "train.txt").exists():
+        logger.info("generating %d scenes ...", args.scenes)
+        names = generate_dataset(
+            data_root, n_scenes=args.scenes,
+            max_points_per_view=args.points_per_view,
+        )
+        logger.info("wrote %d samples", len(names))
+
+    model = DiTConfig(num_layers=args.layers)   # 512-dim, 8 heads, bf16
+    pipe = RPFConfig(
+        model=model, inference_sampling_steps=10, rigidity_forcing=True,
+    )
+    ds_kw = dict(data_path=str(data_root), dataset_name="synth",
+                 load_features=False)
+    train_ds = PointCloudDataset(DatasetConfig(split="train", **ds_kw))
+    val_ds = PointCloudDataset(DatasetConfig(split="val", **ds_kw))
+    logger.info("train %d samples, val %d", len(train_ds), len(val_ds))
+
+    params = init_dit_params(jax.random.key(0), model)
+    tx = build_optimizer(
+        OptimizerConfig(name="muon", lr=3e-4, grad_clip=0.5),
+        steps_per_epoch=max(len(train_ds) // 8, 1),
+    )
+    state = TrainState.create(params, tx, jax.random.key(1))
+    logger.info("model: %.1fM params", param_count(params) / 1e6)
+
+    if not args.eval_only:
+        loader = BatchLoader(
+            [train_ds],
+            LoaderConfig(max_points_per_batch=32_768, shuffle=True, prefetch=4),
+        )
+        step_fn = make_train_step(pipe, tx, remat=True)
+        tracker = ExperimentTracker(out / "ckpts", config=None, use_wandb=False,
+                                    snapshot=False)
+        total, epoch = 0, 0
+        t_start = time.time()
+        while total < args.steps:
+            for batch, names, _ in loader.epoch(epoch):
+                state, metrics = step_fn(state, batch)
+                total += 1
+                if total % 100 == 0:
+                    tracker.log(total, metrics)
+                if total >= args.steps:
+                    break
+            epoch += 1
+        jax.block_until_ready(state.params)
+        dt = time.time() - t_start
+        logger.info("trained %d steps in %.0fs (%.2f steps/s)",
+                    total, dt, total / dt)
+        save_checkpoint(out / "ckpts" / "final", state, {"steps": total})
+        tracker.finish()
+    else:
+        state = restore_checkpoint(Path(args.eval_only), state)
+
+    # ---- held-out eval: full sampling + pose recovery + recall -------------
+    evaluator = Evaluator(EvalConfig())
+    meter = MetricsMeter()
+    loader = BatchLoader(
+        [val_ds], LoaderConfig(max_points_per_batch=32_768, shuffle=False)
+    )
+
+    @jax.jit
+    def generate(params, batch, key):
+        o = sample(params, pipe, batch, key, return_trajectory=False)
+        R, t = predict_poses(batch, o["points"])
+        return o["points"], R, t
+
+    for b_idx, (batch, names, ds_name) in enumerate(loader.epoch(0)):
+        pts, R, t = generate(state.params, batch, jax.random.key(100 + b_idx))
+        md = evaluator.compute_metrics(batch, pts, R, t)
+        valid = np.asarray(batch.sample_valid)
+        nparts = np.asarray(batch.part_valid).reshape(batch.S, -1).sum(1)
+        meter.add_metrics(ds_name, md, valid, nparts)
+    results = meter.compute_average()
+    print_eval_table({"val (held-out scenes)": results})
+    summary = {
+        "steps": args.steps if not args.eval_only else "eval-only",
+        "val": {k: float(v) for k, v in results.get("synth", {}).items()},
+    }
+    (out / "summary.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
