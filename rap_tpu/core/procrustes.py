@@ -14,7 +14,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .segments import masked_mean
 
 
 def kabsch_masked(

@@ -55,17 +55,30 @@ def make_scene(rng: np.random.Generator, extent: float = 6.0,
         np.zeros(n_floor),
     ], axis=1)
     chunks.append(floor)
-    # two walls for global orientation cues
+    # two walls of DIFFERENT heights: identical walls make the scene
+    # invariant under a 90-degree rotation, which turns the pose posterior
+    # multimodal and mode-averages the learned flow into garbage poses
     n_wall = points // 8
-    for axis in (0, 1):
+    for axis, height in ((0, extent / 2), (1, extent / 5)):
         w = np.stack([
             rng.uniform(-extent, extent, n_wall),
             rng.uniform(-extent, extent, n_wall),
-            rng.uniform(0, extent / 2, n_wall),
+            rng.uniform(0, height, n_wall),
         ], axis=1)
         w[:, axis] = -extent
         chunks.append(w)
-    n_obj = (points - n_floor - 2 * n_wall) // max(n_objects, 1)
+    # a distinctive landmark: one long thin box with a per-scene pose
+    n_land = points // 10
+    yaw = rng.uniform(0, 2 * np.pi)
+    Rz = np.array([
+        [np.cos(yaw), -np.sin(yaw), 0],
+        [np.sin(yaw), np.cos(yaw), 0],
+        [0, 0, 1],
+    ])
+    land = _sample_box(rng, (0, 0, 0), (extent * 0.9, 0.3, 0.6), n_land)
+    land = land @ Rz.T + [rng.uniform(-2, 2), rng.uniform(-2, 2), 0.3]
+    chunks.append(land)
+    n_obj = (points - n_floor - 2 * n_wall - n_land) // max(n_objects, 1)
     for _ in range(n_objects):
         c = [rng.uniform(-extent * 0.8, extent * 0.8),
              rng.uniform(-extent * 0.8, extent * 0.8),

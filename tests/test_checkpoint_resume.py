@@ -1,0 +1,66 @@
+"""Checkpoint/resume oracle: a save/restore cycle must be invisible to
+training — the resumed run produces bit-identical losses to the
+uninterrupted one (params, optimizer state, AND the RNG key round-trip;
+the reference stores RNG state in its ckpts, modeling.py:756-765)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rap_tpu.core.batch import make_regular_synthetic_batch
+from rap_tpu.models import DiTConfig
+from rap_tpu.models.dit import init_dit_params
+from rap_tpu.registration import RPFConfig
+from rap_tpu.train import OptimizerConfig, TrainState, build_optimizer, make_train_step
+from rap_tpu.train.checkpoint import load_metadata, restore_checkpoint, save_checkpoint
+
+
+def _setup():
+    model = DiTConfig(
+        num_layers=2, embed_dim=64, num_heads=4, local_feat_dim=8,
+        compute_dtype=jnp.float32,
+    )
+    cfg = RPFConfig(model=model)
+    batch = make_regular_synthetic_batch(
+        jax.random.key(0), [[32, 24]], N=32, P=2, S=1, feat_dim=8
+    )
+    tx = build_optimizer(OptimizerConfig(name="muon"), steps_per_epoch=1)
+    params = init_dit_params(jax.random.key(1), model)
+    state = TrainState.create(params, tx, jax.random.key(2))
+    step = make_train_step(cfg, tx)
+    return state, step, batch, tx
+
+
+def test_resume_is_invisible(tmp_path):
+    state, step, batch, tx = _setup()
+    # uninterrupted: 6 steps
+    losses_ref = []
+    s = state
+    for _ in range(6):
+        s, m = step(s, batch)
+        losses_ref.append(float(m["loss"]))
+
+    # interrupted: 3 steps -> save -> restore into a FRESH state -> 3 more
+    state2, step2, batch2, tx2 = _setup()
+    for _ in range(3):
+        state2, m = step2(state2, batch2)
+    save_checkpoint(tmp_path / "ckpt", state2, {"epoch": 7, "note": "mid"})
+
+    fresh = TrainState.create(
+        init_dit_params(jax.random.key(99), DiTConfig(
+            num_layers=2, embed_dim=64, num_heads=4, local_feat_dim=8,
+            compute_dtype=jnp.float32,
+        )),
+        tx2,
+        jax.random.key(123),
+    )
+    restored = restore_checkpoint(tmp_path / "ckpt", fresh)
+    assert int(restored.step) == 3
+    meta = load_metadata(tmp_path / "ckpt")
+    assert meta["epoch"] == 7
+
+    losses_resumed = []
+    for _ in range(3):
+        restored, m = step2(restored, batch2)
+        losses_resumed.append(float(m["loss"]))
+    np.testing.assert_allclose(losses_resumed, losses_ref[3:], rtol=1e-6)
