@@ -138,6 +138,48 @@ def split_into_views(
     return None
 
 
+def compute_geometric_features(
+    points: np.ndarray, k: int = 16, feat_dim: int = 32
+) -> np.ndarray:
+    """Rotation-invariant local descriptors from k-NN neighborhoods.
+
+    The reference conditions the flow on SpinNet descriptors precisely
+    because raw coordinates give the model no correspondence anchors — the
+    velocity field then shortcut-learns part positions from x_t on the
+    training bridge and never infers them from the condition at sampling
+    time (measured: rigid, well-shaped parts placed at wrong poses).
+    These cheap eigenvalue/curvature/density features restore local-shape
+    identity: per point, covariance eigenvalue shape factors (linearity,
+    planarity, sphericity), curvature, log neighborhood radius, and log
+    density — all invariant to the per-part SO(3) augmentation.
+    """
+    from scipy.spatial import cKDTree
+
+    n = len(points)
+    k = min(k, n)
+    tree = cKDTree(points)
+    dist, idx = tree.query(points, k=k)
+    nb = points[idx]                                  # (n, k, 3)
+    centered = nb - nb.mean(axis=1, keepdims=True)
+    cov = np.einsum("nki,nkj->nij", centered, centered) / max(k - 1, 1)
+    evals = np.linalg.eigvalsh(cov)                   # ascending (n, 3)
+    e1, e2, e3 = evals[:, 2], evals[:, 1], evals[:, 0]
+    s = np.maximum(e1, 1e-12)
+    linearity = (e1 - e2) / s
+    planarity = (e2 - e3) / s
+    sphericity = e3 / s
+    curvature = e3 / np.maximum(e1 + e2 + e3, 1e-12)
+    radius = dist[:, -1]
+    feats = np.stack([
+        linearity, planarity, sphericity, curvature,
+        np.log1p(radius),
+        np.log1p(np.sqrt(e1)), np.log1p(np.sqrt(e2)), np.log1p(np.sqrt(e3)),
+    ], axis=1).astype(np.float32)
+    out = np.zeros((n, feat_dim), np.float32)
+    out[:, : feats.shape[1]] = feats
+    return out
+
+
 def generate_dataset(
     root,
     n_scenes: int = 200,
@@ -145,6 +187,7 @@ def generate_dataset(
     max_points_per_view: int = 2048,
     val_fraction: float = 0.1,
     seed: int = 0,
+    features: bool = True,
 ) -> list[str]:
     """Write a complete on-disk training dataset (samples + split files)."""
     from pathlib import Path
@@ -160,7 +203,13 @@ def generate_dataset(
         if views is None:
             continue
         name = f"scene_{i:05d}"
-        save_training_sample(root, name, views)
+        d = save_training_sample(root, name, views)
+        if features:
+            for p, v in enumerate(views):
+                np.save(
+                    d / f"features_part_{p:02d}.npy",
+                    compute_geometric_features(v),
+                )
         names.append(name)
     n_val = max(1, int(round(len(names) * val_fraction)))
     write_split_files(root, names[:-n_val], names[-n_val:])

@@ -37,6 +37,8 @@ def main(argv=None):
     ap.add_argument("--out", default="demo_run")
     ap.add_argument("--layers", type=int, default=6)
     ap.add_argument("--eval-only", default="", help="checkpoint dir to eval")
+    ap.add_argument("--eval-splits", default="val",
+                    help="comma-separated splits to evaluate (train,val)")
     args = ap.parse_args(argv)
 
     from rap_tpu.data import BatchLoader, DatasetConfig, LoaderConfig, PointCloudDataset
@@ -67,7 +69,7 @@ def main(argv=None):
         model=model, inference_sampling_steps=10, rigidity_forcing=True,
     )
     ds_kw = dict(data_path=str(data_root), dataset_name="synth",
-                 load_features=False)
+                 load_features=True)
     train_ds = PointCloudDataset(DatasetConfig(split="train", **ds_kw))
     val_ds = PointCloudDataset(DatasetConfig(split="val", **ds_kw))
     logger.info("train %d samples, val %d", len(train_ds), len(val_ds))
@@ -108,12 +110,8 @@ def main(argv=None):
     else:
         state = restore_checkpoint(Path(args.eval_only), state)
 
-    # ---- held-out eval: full sampling + pose recovery + recall -------------
+    # ---- eval: full sampling + pose recovery + recall -----------------------
     evaluator = Evaluator(EvalConfig())
-    meter = MetricsMeter()
-    loader = BatchLoader(
-        [val_ds], LoaderConfig(max_points_per_batch=32_768, shuffle=False)
-    )
 
     @jax.jit
     def generate(params, batch, key):
@@ -121,18 +119,24 @@ def main(argv=None):
         R, t = predict_poses(batch, o["points"])
         return o["points"], R, t
 
-    for b_idx, (batch, names, ds_name) in enumerate(loader.epoch(0)):
-        pts, R, t = generate(state.params, batch, jax.random.key(100 + b_idx))
-        md = evaluator.compute_metrics(batch, pts, R, t)
-        valid = np.asarray(batch.sample_valid)
-        nparts = np.asarray(batch.part_valid).reshape(batch.S, -1).sum(1)
-        meter.add_metrics(ds_name, md, valid, nparts)
-    results = meter.compute_average()
-    print_eval_table({"val (held-out scenes)": results})
-    summary = {
-        "steps": args.steps if not args.eval_only else "eval-only",
-        "val": {k: float(v) for k, v in results.get("synth", {}).items()},
-    }
+    summary = {"steps": args.steps if not args.eval_only else "eval-only"}
+    for split in args.eval_splits.split(","):
+        ds = train_ds if split == "train" else val_ds
+        meter = MetricsMeter()
+        loader = BatchLoader(
+            [ds], LoaderConfig(max_points_per_batch=32_768, shuffle=False)
+        )
+        for b_idx, (batch, names, ds_name) in enumerate(loader.epoch(0)):
+            pts, R, t = generate(state.params, batch, jax.random.key(100 + b_idx))
+            md = evaluator.compute_metrics(batch, pts, R, t)
+            valid = np.asarray(batch.sample_valid)
+            nparts = np.asarray(batch.part_valid).reshape(batch.S, -1).sum(1)
+            meter.add_metrics(ds_name, md, valid, nparts)
+        results = meter.compute_average()
+        print_eval_table({f"{split} scenes": results})
+        summary[split] = {
+            k: float(v) for k, v in results.get("synth", {}).items()
+        }
     (out / "summary.json").write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary))
 

@@ -50,3 +50,38 @@ class TestSceneGeneration:
         for p in range(smp.num_parts):
             rec = smp.points[p] @ smp.rotations[p].T + smp.translations[p]
             np.testing.assert_allclose(rec, smp.points_gt[p], atol=1e-5)
+
+
+class TestGeometricFeatures:
+    def test_rotation_invariance(self):
+        """Features must be invariant to rigid rotation — the per-part SO(3)
+        augmentation must not change the descriptor of a point."""
+        from scipy.spatial.transform import Rotation
+
+        from rap_tpu.data.synthetic_scenes import compute_geometric_features
+
+        rng = np.random.default_rng(0)
+        pts = rng.standard_normal((300, 3)).astype(np.float64)
+        R = Rotation.from_euler("zyx", [33, -20, 75], degrees=True).as_matrix()
+        f0 = compute_geometric_features(pts)
+        f1 = compute_geometric_features(pts @ R.T)
+        np.testing.assert_allclose(f0, f1, atol=1e-4)
+        assert f0.shape == (300, 32)
+        assert np.abs(f0[:, :8]).sum() > 0 and np.all(f0[:, 8:] == 0)
+
+    def test_distinguishes_shapes(self):
+        """Plane points and sphere points get different descriptors."""
+        from rap_tpu.data.synthetic_scenes import (
+            _sample_sphere, compute_geometric_features,
+        )
+
+        rng = np.random.default_rng(1)
+        plane = np.stack([
+            rng.uniform(0, 2, 400), rng.uniform(0, 2, 400), np.zeros(400)
+        ], axis=1)
+        sphere = _sample_sphere(rng, (0, 0, 0), 1.0, 400)
+        fp = compute_geometric_features(plane).mean(0)
+        fs = compute_geometric_features(sphere).mean(0)
+        # a k=16 patch of a unit sphere is still locally curved: curvature
+        # separates the two shapes (planarity alone does not at this k)
+        assert fs[3] > 2 * fp[3]
