@@ -314,7 +314,10 @@ def run_demo(args) -> int:
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("-i", "--input", required=True, help="folder of part PLYs")
+    ap.add_argument(
+        "-i", "--input", default="demo_data/pair",
+        help="folder of part PLYs (default: the bundled demo pair)",
+    )
     ap.add_argument("-out", "--output", default="demo_output")
     ap.add_argument("--config", default="configs/rap_inference.yaml")
     ap.add_argument("--checkpoint", default="")
