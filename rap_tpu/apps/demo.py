@@ -314,9 +314,11 @@ def run_demo(args) -> int:
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
     ap = argparse.ArgumentParser(description=__doc__)
+    bundled_pair = Path(__file__).resolve().parents[2] / "demo_data" / "pair"
     ap.add_argument(
-        "-i", "--input", default="demo_data/pair",
-        help="folder of part PLYs (default: the bundled demo pair)",
+        "-i", "--input", default=str(bundled_pair),
+        help="folder of part PLYs (default: the bundled demo pair, "
+             "resolved relative to the package so it works from any cwd)",
     )
     ap.add_argument("-out", "--output", default="demo_output")
     ap.add_argument("--config", default="configs/rap_inference.yaml")

@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..dataset_process.io import save_training_sample
-from ..dataset_process.splits import write_split_files
+from ..dataset_process.splits import make_splits, write_split_files
 
 
 def _sample_box(rng, center, size, n):
@@ -151,7 +151,7 @@ def compute_geometric_features(
     These cheap eigenvalue/curvature/density features restore local-shape
     identity: per point, covariance eigenvalue shape factors (linearity,
     planarity, sphericity), curvature, log neighborhood radius, and log
-    density — all invariant to the per-part SO(3) augmentation.
+    eigenvalue scales — all invariant to the per-part SO(3) augmentation.
     """
     from scipy.spatial import cKDTree
 
@@ -188,6 +188,7 @@ def generate_dataset(
     val_fraction: float = 0.1,
     seed: int = 0,
     features: bool = True,
+    keep_radius_frac: tuple[float, float] = (0.55, 0.8),
 ) -> list[str]:
     """Write a complete on-disk training dataset (samples + split files)."""
     from pathlib import Path
@@ -198,7 +199,9 @@ def generate_dataset(
     for i in range(n_scenes):
         scene = make_scene(rng)
         views = split_into_views(
-            scene, rng, n_views=n_views, max_points_per_view=max_points_per_view
+            scene, rng, n_views=n_views,
+            max_points_per_view=max_points_per_view,
+            keep_radius_frac=keep_radius_frac,
         )
         if views is None:
             continue
@@ -211,6 +214,10 @@ def generate_dataset(
                     compute_geometric_features(v),
                 )
         names.append(name)
-    n_val = max(1, int(round(len(names) * val_fraction)))
-    write_split_files(root, names[:-n_val], names[-n_val:])
+    # every scene is its own "sequence": split per sample, not per sequence
+    train, val = make_splits(
+        names, val_fraction=val_fraction,
+        rng=np.random.default_rng(seed + 1), keep_sequences_together=False,
+    )
+    write_split_files(root, train, val)
     return names

@@ -353,14 +353,15 @@ def _flash_hm_fwd(qh, kh, vh, maski, softcap, block_q, block_k, interpret):
 
 
 def _divisor_cap(block: int, cap: int) -> int:
-    """Largest divisor of ``block`` that is <= cap (block is a multiple of
-    128, so a power-of-two-ish divisor always exists)."""
+    """Largest divisor of ``block`` that is <= cap. Blocks are multiples of
+    128 (enforced by flash_attention), so a valid divisor >= 128 exists —
+    anything else would silently truncate the backward grid."""
     if block <= cap:
         return block
-    for cand in (cap, cap // 2, cap // 4, 256, 128):
-        if cand and block % cand == 0:
+    for cand in range(cap, 127, -1):
+        if block % cand == 0:
             return cand
-    return 128
+    raise ValueError(f"no divisor of block={block} within cap={cap}")
 
 
 def _flash_hm_bwd(softcap, block_q, block_k, interpret, res, dout):

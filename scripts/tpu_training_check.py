@@ -1,7 +1,7 @@
 """On-chip training validation (VERDICT #2 done-criteria):
   1. jax.grad parity pallas-vs-chunked attention at T=4096 on the real TPU.
-  2. One real make_train_step at N=8192 tokens-per-part on the chip
-     (rap_12-sized model, bf16 compute, remat on).
+  2. One real make_train_step at 8192 tokens per sample (2 parts x 4096
+     points) on the chip (rap_12-sized model, bf16 compute, remat on).
 Run: timeout 1800 python scripts/tpu_training_check.py
 """
 
@@ -84,11 +84,15 @@ def train_step_at_8k():
     print(f"  steady train step @ 8192 tokens: {dt * 1e3:.0f} ms "
           f"(~{tf:.0f} TFLOP/s effective)")
     assert np.isfinite(float(metrics["loss"]))
-    print("make_train_step rap_12 @ N=8192 on TPU: OK")
+    print("make_train_step rap_12 @ 8192 tokens/sample on TPU: OK")
 
 
 if __name__ == "__main__":
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind} ({dev.platform})")
+    assert dev.platform == "tpu", (
+        "this validation must run on the real TPU — on CPU the pallas path "
+        "falls back to interpret mode and proves nothing"
+    )
     grad_parity_on_tpu()
     train_step_at_8k()

@@ -34,6 +34,9 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--scenes", type=int, default=400)
     ap.add_argument("--points-per-view", type=int, default=2048)
+    ap.add_argument("--overlap", default="medium", choices=["medium", "high"],
+                    help="view overlap regime: 'high' crops ~90%%-overlapping "
+                         "views (easy correspondence), 'medium' the default")
     ap.add_argument("--out", default="demo_run")
     ap.add_argument("--layers", type=int, default=6)
     ap.add_argument("--eval-only", default="", help="checkpoint dir to eval")
@@ -56,13 +59,33 @@ def main(argv=None):
 
     out = Path(args.out)
     data_root = out / "data"
+    gen_params = {
+        "scenes": args.scenes,
+        "points_per_view": args.points_per_view,
+        "overlap": args.overlap,
+    }
+    params_file = data_root / "generation_params.json"
     if not (data_root / "data_split" / "train.txt").exists():
         logger.info("generating %d scenes ...", args.scenes)
         names = generate_dataset(
             data_root, n_scenes=args.scenes,
             max_points_per_view=args.points_per_view,
+            keep_radius_frac=(0.9, 0.98) if args.overlap == "high" else (0.55, 0.8),
         )
+        params_file.write_text(json.dumps(gen_params))
         logger.info("wrote %d samples", len(names))
+    else:
+        existing = (
+            json.loads(params_file.read_text()) if params_file.exists() else None
+        )
+        if existing != gen_params:
+            logger.warning(
+                "REUSING existing dataset at %s generated with %s — the "
+                "requested parameters %s are IGNORED (delete the dir to "
+                "regenerate)", data_root, existing, gen_params,
+            )
+        else:
+            logger.info("reusing existing dataset at %s", data_root)
 
     model = DiTConfig(num_layers=args.layers)   # 512-dim, 8 heads, bf16
     pipe = RPFConfig(
@@ -73,6 +96,11 @@ def main(argv=None):
     train_ds = PointCloudDataset(DatasetConfig(split="train", **ds_kw))
     val_ds = PointCloudDataset(DatasetConfig(split="val", **ds_kw))
     logger.info("train %d samples, val %d", len(train_ds), len(val_ds))
+    if len(train_ds) == 0:
+        raise RuntimeError(
+            f"empty train split under {data_root} — generation produced too "
+            "few scenes (raise --scenes) or the dataset dir is corrupt"
+        )
 
     params = init_dit_params(jax.random.key(0), model)
     tx = build_optimizer(
