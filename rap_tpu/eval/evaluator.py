@@ -53,6 +53,10 @@ class EvalConfig:
     save_json: bool = True
     save_pointcloud_parts: bool = False
     save_merged_pointcloud_steps: bool = False
+    # point-cloud artifacts only for the first K valid samples per batch
+    # (ref evaluator.py:352 max_samples_per_batch; 0 = no limit). JSON and
+    # transform files are always written for every sample, like the reference.
+    max_artifact_samples_per_batch: int = 0
     output_dir: str = "results"
     folder_suffix: str | None = None
 
@@ -306,6 +310,13 @@ class Evaluator:
                     T_rel = T_rel @ T_glob_inv
                 np.savetxt(d / f"part{p:02d}_transform.txt", T_rel, fmt="%.8f")
 
+            # point-cloud artifacts: optionally only the first K samples
+            # (JSON + transforms above are always written, ref :348-369)
+            if (
+                self.cfg.max_artifact_samples_per_batch
+                and s >= self.cfg.max_artifact_samples_per_batch
+            ):
+                continue
             # merged prediction cloud (metric scale)
             merged, _ = _merged(pred_sp[s][pv[s]], mask[s][pv[s]], scale[s])
             plyio.write_ply(d / "merged_pred.ply", merged)

@@ -446,3 +446,25 @@ class TestEvalConfigExtensions:
         np.testing.assert_allclose(np.asarray(md["ecdf_rotation_at_3deg"]), 1.0)
         np.testing.assert_allclose(np.asarray(md["ecdf_translation_at_0.05m"]), 1.0)
         assert np.all(np.asarray(md["average_rotation_error (deg)"]) < 1.0)
+
+    def test_artifact_sample_limit(self, tmp_path):
+        b = _batch(S=2)
+        ev = Evaluator(EvalConfig(
+            save_results=True, output_dir=str(tmp_path / "res"),
+            max_artifact_samples_per_batch=1,
+        ))
+        R, t = fit_transformations(b.points, b.points_gt, b.point_mask)
+        md = ev.compute_metrics(b, b.points_gt, R, t)
+        ev.save_sample_results(
+            b, np.asarray(b.points_gt), np.asarray(R), np.asarray(t),
+            {k: np.asarray(v) for k, v in md.items()},
+            sample_names=["a", "b"], dataset_name="demo",
+        )
+        d0 = tmp_path / "res" / "demo" / "a" / "generation_0"
+        d1 = tmp_path / "res" / "demo" / "b" / "generation_0"
+        # clouds only for the first sample; JSON + transforms for both
+        assert (d0 / "merged_pred.ply").exists()
+        assert not (d1 / "merged_pred.ply").exists()
+        for d in (d0, d1):
+            assert (d / "metrics.json").exists()
+            assert (d / "part00_transform.txt").exists()
