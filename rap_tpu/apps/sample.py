@@ -175,8 +175,18 @@ def run_eval(cfg: Config, params=None) -> dict:
 
     meter.reduce_across_hosts([d.dataset_name for d in cfg.data.datasets])
     results = meter.compute_average()
+    # split the prefixed aggregate keys into separate table sections, like
+    # the reference's avg / best-of-N / rigidity-selected tables
+    # (ref logging.py:81-303)
+    sections: dict[str, dict[str, dict[str, float]]] = {"average": {}}
+    for ds_name, md in results.items():
+        for k, v in md.items():
+            sec, _, metric = k.partition("/")
+            if not metric:
+                sec, metric = "average", k
+            sections.setdefault(sec, {}).setdefault(ds_name, {})[metric] = v
     print_eval_table(
-        {"metrics": results},
+        sections,
         meter.get_sample_counts(),
         meter.get_part_count_ranges(),
     )

@@ -50,6 +50,11 @@ class MetricsMeter:
                     continue
                 self._sums[names[s]][key] += float(v)
                 self._counts[names[s]][key] += 1
+        # sample/part-range bookkeeping only for the PRIMARY add (the one
+        # that passes num_parts) — the best-of-N / rigidity-selected adds for
+        # the same batch must not recount samples
+        if num_parts is None:
+            return
         for s in range(S):
             if valid[s]:
                 self._samples[names[s]] += 1

@@ -468,3 +468,14 @@ class TestEvalConfigExtensions:
         for d in (d0, d1):
             assert (d / "metrics.json").exists()
             assert (d / "part00_transform.txt").exists()
+
+    def test_meter_sample_counts_not_inflated_by_aggregate_adds(self):
+        meter = MetricsMeter()
+        valid = np.array([True, True])
+        md = {"m": np.array([1.0, 2.0])}
+        meter.add_metrics("toy", md, valid, np.array([2, 2]))  # primary
+        meter.add_metrics("toy", {"best_of_2/m": md["m"]}, valid)  # aggregate
+        meter.add_metrics("toy", {"rigidity_selected/m": md["m"]}, valid)
+        assert meter.get_sample_counts()["toy"] == 2
+        avg = meter.compute_average()["toy"]
+        assert avg["m"] == 1.5 and avg["best_of_2/m"] == 1.5
