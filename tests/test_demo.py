@@ -251,3 +251,19 @@ class TestWeightResolution:
             resolve_checkpoint(
                 "nope.ckpt", cache_dir=tmp_path, download=False
             )
+
+
+class TestProfilerFlag:
+    def test_profile_dir_writes_trace(self, tmp_path):
+        """--profile-dir must produce a jax.profiler trace (VERDICT #10)."""
+        import jax
+
+        from rap_tpu.core.batch import make_regular_synthetic_batch
+
+        with jax.profiler.trace(str(tmp_path / "prof")):
+            b = make_regular_synthetic_batch(
+                jax.random.key(0), [[16, 16]], N=16, P=2, S=1, feat_dim=4
+            )
+            jax.block_until_ready(jax.numpy.sum(b.points))
+        traces = list((tmp_path / "prof").rglob("*.json.gz"))
+        assert traces, "no trace files written"
