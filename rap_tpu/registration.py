@@ -86,7 +86,22 @@ def training_forward(
     )
     loss = flow.velocity_loss(v_pred, v_t, batch.point_mask, cfg.loss_type)
     n_pred, n_t = flow.velocity_norms(v_pred, v_t, batch.point_mask)
-    return loss, {"loss": loss, "norm_v_pred": n_pred, "norm_v_t": n_t}
+    metrics = {"loss": loss, "norm_v_pred": n_pred, "norm_v_t": n_t}
+    # t-binned loss: the shortcut-learning signature lives at t->1 (the pose
+    # must come from the condition there; docs/synthetic_training.md) — log
+    # it so training health is observable without a separate probe
+    P = parts_per_sample(batch)
+    se = jnp.sum((v_pred - v_t) ** 2 * batch.point_mask[..., None], axis=(1, 2))
+    cnt = 3.0 * jnp.sum(batch.point_mask, axis=1)                 # (G,)
+    se_s = se.reshape(batch.S, P).sum(1)                          # (S,)
+    cnt_s = jnp.maximum(cnt.reshape(batch.S, P).sum(1), 1.0)
+    loss_s = se_s / cnt_s
+    valid = batch.sample_valid.astype(jnp.float32)
+    for lo, hi, name in ((0.0, 0.5, "loss_t<0.5"), (0.5, 0.9, "loss_t0.5-0.9"),
+                         (0.9, 1.01, "loss_t>0.9")):
+        w = ((t_sample >= lo) & (t_sample < hi)).astype(jnp.float32) * valid
+        metrics[name] = jnp.sum(loss_s * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return loss, metrics
 
 
 def sample(
