@@ -61,6 +61,12 @@ class PartBatch(struct.PyTreeNode):
     global_rotation: jax.Array | None = None     # (S, 3, 3) f32
     global_translation: jax.Array | None = None  # (S, 3) f32
 
+    # Static (non-pytree) metadata: True iff point_mask is all-True AND every
+    # part/sample slot is valid — i.e. the batch carries zero padding. Set by
+    # the packer/constructors host-side; lets the attention layers take the
+    # mask-free pallas fast path (ops/pallas_attention.py no-padding kernel).
+    no_padding: bool = struct.field(pytree_node=False, default=False)
+
     # ---- static shape helpers -------------------------------------------------
     @property
     def G(self) -> int:
@@ -206,6 +212,7 @@ def make_synthetic_batch(
         sample_valid=jnp.asarray(sample_valid),
         global_rotation=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (S, 3, 3)),
         global_translation=jnp.zeros((S, 3), jnp.float32),
+        no_padding=bool(mask.all() and part_valid.all() and sample_valid.all()),
     )
 
 
@@ -265,6 +272,7 @@ def make_regular_synthetic_batch(
         sample_valid=b.sample_valid,
         global_rotation=b.global_rotation,
         global_translation=b.global_translation,
+        no_padding=b.no_padding and len(dst) == G,
     )
 
 

@@ -180,6 +180,9 @@ def collate_to_part_batch(
         sample_valid=jnp.asarray(sample_valid),
         global_rotation=jnp.asarray(g_rot),
         global_translation=jnp.asarray(g_trans),
+        # static flag: a fully dense batch lets attention skip mask plumbing.
+        # (Distinct flag values compile distinct programs — two variants max.)
+        no_padding=bool(mask.all() and part_valid.all() and sample_valid.all()),
     )
     return batch, names
 

@@ -101,17 +101,24 @@ def _chunked_attention(q, k, v, kv_mask, scale, softcap, chunk: int):
     jax.jit, static_argnames=("impl", "softcap", "chunk", "scale")
 )
 def batched_attention(
-    q: jax.Array,        # (B, Tq, H, d)
-    k: jax.Array,        # (B, Tk, H, d)
-    v: jax.Array,        # (B, Tk, H, d)
-    kv_mask: jax.Array,  # (B, Tk) bool — False keys are never attended
+    q: jax.Array,               # (B, Tq, H, d)
+    k: jax.Array,               # (B, Tk, H, d)
+    v: jax.Array,               # (B, Tk, H, d)
+    kv_mask: jax.Array | None,  # (B, Tk) bool, or None => every key valid
     impl: str = "auto",
     softcap: float = 0.0,
     scale: float | None = None,
     chunk: int = 1024,
+    logit_bound: jax.Array | float | None = None,
 ) -> jax.Array:
     """Masked MHA. Returns (B, Tq, H, d) in v.dtype; padded rows are zeros
-    iff their keys are fully masked (callers mask query rows separately)."""
+    iff their keys are fully masked (callers mask query rows separately).
+
+    ``kv_mask=None`` declares statically that every key is valid: the pallas
+    impl then takes its no-padding fast path (fixed-bound softmax, no mask
+    plumbing — ~25% faster on v5e; ops/pallas_attention.py). ``logit_bound``
+    optionally supplies max|q·k| (unscaled) for that path, e.g. derived from
+    qk-norm gammas."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     B, Tq, H, d = q.shape
@@ -123,15 +130,18 @@ def batched_attention(
         else:
             # dense logits budget ~256M fp32 entries
             impl = "dense" if B * H * Tq * Tk <= 2**28 else "chunked"
-    if impl == "dense":
-        return _dense_attention(q, k, v, kv_mask, scale, softcap)
-    if impl == "chunked":
-        return _chunked_attention(q, k, v, kv_mask, scale, softcap, chunk)
     if impl == "pallas":
         from .pallas_attention import flash_attention
 
         # compiled Mosaic needs a TPU; fall back to the interpreter elsewhere
         return flash_attention(
-            q, k, v, kv_mask, scale=scale, softcap=softcap, interpret=not on_tpu
+            q, k, v, kv_mask, scale=scale, softcap=softcap,
+            interpret=not on_tpu, logit_bound=logit_bound,
         )
+    if kv_mask is None:
+        kv_mask = jnp.ones((B, Tk), bool)
+    if impl == "dense":
+        return _dense_attention(q, k, v, kv_mask, scale, softcap)
+    if impl == "chunked":
+        return _chunked_attention(q, k, v, kv_mask, scale, softcap, chunk)
     raise ValueError(f"Unknown attention impl: {impl}")

@@ -40,6 +40,19 @@ Measured-on-v5e design notes (T=8192 H=8 d=64 full-valid mask):
   - IMPORTANT measurement note: single-call timings through the remote-TPU
     tunnel include a ~25 ms host round trip — always amortize over a
     lax.scan of >=20 kernel applications when tuning.
+
+No-padding fast path (`kv_mask=None`): when the caller knows every key is
+valid (full parts — the benchmark protocol and any densely packed batch), a
+second forward kernel drops the mask plumbing AND the running-max machinery:
+softmax uses a fixed per-call logit upper bound (any per-row constant shift
+is mathematically exact for softmax; the bound only has to prevent exp2
+overflow). With qk-norm the bound comes free from the gamma parameters. At
+(bq=4096, bk=1024) with a raised VMEM limit this measures 78.6 TFLOP/s —
+*equal to a kernel with the softmax deleted entirely* (79.0), i.e. the
+softmax is fully hidden behind the MXU and the d=64 matmul floor is reached.
+v5e matmul floor at this shape: QK^T contracts over 64 lanes and PV emits 65
+lanes, each using half the 128-wide MXU, so ~½ of bf16 peak is the hard
+ceiling; 78.6 measured vs 197 peak ≈ 80% of that ceiling.
 """
 
 from __future__ import annotations
@@ -161,6 +174,110 @@ def _fwd_impl(qh, kh, vh, maski, softcap, block_q, block_k, interpret):
         interpret=interpret,
     )(qh, kh, vha, maski)
     return out, lse
+
+
+# ---------------------------------------------------------------------------
+# forward kernel, no-padding fast path (fixed-bound softmax, no mask)
+# ---------------------------------------------------------------------------
+
+def _flash_fwd_full_kernel(
+    bound_ref, q_ref, k_ref, va_ref, out_ref, lse_ref, acc_ref,
+    *, softcap: float, num_k_blocks: int, d: int,
+):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    s2 = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if softcap > 0.0:
+        s2 = jnp.tanh(s2) * (softcap * LOG2E)
+    p = jnp.exp2(s2 - bound_ref[0])
+    # ones-augmented V: pv[:, :d] = p @ v, pv[:, d] = rowsum(p)
+    pv = jax.lax.dot_general(
+        p.astype(va_ref.dtype), va_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:, : d + 1] += pv
+
+    @pl.when(j == num_k_blocks - 1)
+    def _fin():
+        l = acc_ref[:, d : d + 1]
+        out_ref[0] = (acc_ref[:, :d] / l).astype(out_ref.dtype)
+        # residual for the (shared) backward kernels: lse2 = bound + log2(l)
+        lse_ref[0, 0] = (bound_ref[0] + jnp.log2(l))[:, 0]
+
+
+def _fwd_full_impl(qh, kh, vh, bound, softcap, block_q, block_k, interpret):
+    """No-padding head-major forward. qh pre-scaled; bound: (1,) fp32 upper
+    bound on the base-2 logits (softmax is shift-invariant, so any valid
+    bound is exact). Returns (out (BH,T,d), lse2 (BH,1,T) fp32)."""
+    BH, Tq, d = qh.shape
+    Tk = kh.shape[1]
+    nq, nk = Tq // block_q, Tk // block_k
+    vha = jnp.pad(vh, ((0, 0), (0, 0), (0, 1)), constant_values=1.0)
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _flash_fwd_full_kernel, softcap=softcap, num_k_blocks=nk, d=d
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(BH, nq, nk),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i, j, s: (b, i, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i, j, s: (b, j, 0)),
+                pl.BlockSpec((1, block_k, d + 1), lambda b, i, j, s: (b, j, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i, j, s: (b, i, 0)),
+                pl.BlockSpec((1, 1, block_q), lambda b, i, j, s: (b, 0, i)),
+            ],
+            scratch_shapes=[pltpu.VMEM((block_q, 128), jnp.float32)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Tq, d), qh.dtype),
+            jax.ShapeDtypeStruct((BH, 1, Tq), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(bound, qh, kh, vha)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_hm_full(qh, kh, vh, bound, softcap, block_q, block_k, interpret):
+    out, _ = _fwd_full_impl(
+        qh, kh, vh, bound, softcap, block_q, block_k, interpret
+    )
+    return out
+
+
+def _flash_hm_full_fwd(qh, kh, vh, bound, softcap, block_q, block_k, interpret):
+    out, lse = _fwd_full_impl(
+        qh, kh, vh, bound, softcap, block_q, block_k, interpret
+    )
+    return out, (qh, kh, vh, out, lse)
+
+
+def _flash_hm_full_bwd(softcap, block_q, block_k, interpret, res, dout):
+    qh, kh, vh, out, lse = res
+    B = 1  # all-valid mask shared by every (batch, head) row
+    maski = jnp.ones((B, 1, kh.shape[1]), jnp.int32)
+    bq = _divisor_cap(block_q, 512)
+    bk = _divisor_cap(block_k, 512)
+    dq, dk, dv = _bwd_impl(
+        qh, kh, vh, maski, out, lse, dout.astype(qh.dtype),
+        softcap, bq, bk, interpret,
+    )
+    dbound = jnp.zeros((1,), jnp.float32)  # softmax is shift-invariant
+    return dq, dk, dv, dbound
+
+
+_flash_hm_full.defvjp(_flash_hm_full_fwd, _flash_hm_full_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -383,29 +500,46 @@ def _flash_hm_bwd(softcap, block_q, block_k, interpret, res, dout):
 _flash_hm.defvjp(_flash_hm_fwd, _flash_hm_bwd)
 
 
+def _full_block_sizes(Tq: int, Tk: int) -> tuple[int, int]:
+    """Block sizes for the no-padding path: the largest (bq<=4096, bk<=1024)
+    multiples of 128 that DIVIDE the sequence lengths (no padding allowed —
+    zero-padded keys would leak exp2(-bound) mass into the softmax).
+    Measured on v5e at T=8192 d=64: (4096, 1024) hits the matmul floor."""
+    bq = next(c for c in (4096, 2048, 1024, 512, 256, 128) if Tq % c == 0)
+    bk = next(c for c in (1024, 512, 256, 128) if Tk % c == 0)
+    return bq, bk
+
+
 @functools.partial(
-    jax.jit, static_argnames=("scale", "softcap", "block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("scale", "softcap", "block_q", "block_k", "interpret"),
 )
 def flash_attention(
-    q: jax.Array,        # (B, Tq, H, d)
-    k: jax.Array,        # (B, Tk, H, d)
-    v: jax.Array,        # (B, Tk, H, d)
-    kv_mask: jax.Array,  # (B, Tk) bool
+    q: jax.Array,               # (B, Tq, H, d)
+    k: jax.Array,               # (B, Tk, H, d)
+    v: jax.Array,               # (B, Tk, H, d)
+    kv_mask: jax.Array | None,  # (B, Tk) bool, or None => every key valid
     scale: float | None = None,
     softcap: float = 0.0,
     block_q: int = 1024,
     block_k: int = 2048,
     interpret: bool = False,
+    logit_bound: jax.Array | float | None = None,
 ) -> jax.Array:
     """Masked flash attention; returns (B, Tq, H, d) in q.dtype.
-    Differentiable (custom VJP, flash backward kernels)."""
+    Differentiable (custom VJP, flash backward kernels).
+
+    ``kv_mask=None`` selects the no-padding fast path (fixed-bound softmax,
+    no mask plumbing, ~25% faster — see module docstring). ``logit_bound``
+    optionally supplies an upper bound on the UNSCALED logits max|q·k| (e.g.
+    derived from qk-norm gammas); otherwise it is computed from row norms.
+    """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     B, Tq, H, d = q.shape
     Tk = k.shape[1]
-    # blocks stay multiples of 128 (lse layout: (1, block_q) min-tile)
-    block_q = min(block_q, _round_up(Tq, 128))
-    block_k = min(block_k, _round_up(Tk, 128))
+
+    full = kv_mask is None and Tq % 128 == 0 and Tk % 128 == 0
 
     # pre-fold the softmax scale (and log2e) into q: one multiply over T*d
     # elements instead of one per T*T logit element inside the kernel
@@ -418,6 +552,32 @@ def flash_attention(
     qh = q.transpose(0, 2, 1, 3).reshape(B * H, Tq, d)
     kh = k.transpose(0, 2, 1, 3).reshape(B * H, Tk, d)
     vh = v.transpose(0, 2, 1, 3).reshape(B * H, Tk, d)
+
+    if full:
+        bq, bk = _full_block_sizes(Tq, Tk)
+        if softcap > 0.0:
+            # tanh caps the base-2 logits at softcap*log2(e) inside the kernel
+            bound = jnp.full((1,), softcap * LOG2E, jnp.float32)
+        elif logit_bound is not None:
+            # unscaled-domain bound -> pre-scaled base-2 domain
+            bound = jnp.reshape(logit_bound, (1,)).astype(jnp.float32) * (
+                scale * LOG2E
+            )
+        else:
+            qn = jnp.sqrt(
+                jnp.sum(jnp.square(qh.astype(jnp.float32)), -1)
+            ).max()  # qh is already pre-scaled
+            kn = jnp.sqrt(jnp.sum(jnp.square(kh.astype(jnp.float32)), -1)).max()
+            bound = (qn * kn).reshape(1)
+        out = _flash_hm_full(qh, kh, vh, bound, softcap, bq, bk, interpret)
+        return out.reshape(B, H, Tq, d).transpose(0, 2, 1, 3)
+
+    if kv_mask is None:
+        kv_mask = jnp.ones((B, Tk), bool)
+    # blocks stay multiples of 128 (lse layout: (1, block_q) min-tile)
+    block_q = min(block_q, _round_up(Tq, 128))
+    block_k = min(block_k, _round_up(Tk, 128))
+
     # (B, 1, Tk): the singleton middle dim keeps the mask BlockSpec's last two
     # dims Mosaic-legal ((1, block_k) blocks of a (B, Tk) array are not).
     maski = kv_mask.astype(jnp.int32)[:, None, :]

@@ -39,22 +39,11 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_sharding(mesh: Mesh) -> PartBatch:
-    """A PartBatch of NamedShardings: every array sharded on its leading axis."""
-    lead = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.tree.map(lambda _: lead, _batch_struct())
-
-
-def _batch_struct():
-    # a skeletal PartBatch used only as a pytree template
-    import jax.numpy as jnp
-
-    z = jnp.zeros((1,))
-    return PartBatch(
-        points=z, points_gt=z, local_feats=z, point_mask=z, part_valid=z,
-        sample_of_part=z, anchor_part=z, rotations_gt=z, translations_gt=z,
-        scale=z, sample_valid=z, global_rotation=z, global_translation=z,
-    )
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis sharding for a PartBatch, as a jit in_shardings *prefix*
+    (one sharding applies to every leaf — this stays valid whatever static
+    metadata, e.g. ``no_padding``, the concrete batch pytree carries)."""
+    return NamedSharding(mesh, P(DATA_AXIS))
 
 
 def shard_batch(batch: PartBatch, mesh: Mesh) -> PartBatch:

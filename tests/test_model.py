@@ -320,3 +320,127 @@ class TestPallasAttention:
         assert all(np.isfinite(np.asarray(x_)).all() for x_ in flat)
         total = sum(float(jnp.sum(jnp.abs(x_))) for x_ in flat)
         assert total > 0.0
+
+
+class TestPallasFullPath:
+    """The no-padding fast path: kv_mask=None => fixed-bound softmax kernel
+    (ops/pallas_attention.py `_flash_fwd_full_kernel`)."""
+
+    def _qkv(self, B=2, T=512, H=2, d=64, seed=7):
+        ks = jax.random.split(jax.random.key(seed), 3)
+        q = jax.random.normal(ks[0], (B, T, H, d))
+        k = jax.random.normal(ks[1], (B, T, H, d))
+        v = jax.random.normal(ks[2], (B, T, H, d))
+        return q, k, v
+
+    def test_full_parity_with_dense(self):
+        from rap_tpu.ops.pallas_attention import flash_attention
+
+        q, k, v = self._qkv()
+        ones = jnp.ones((q.shape[0], q.shape[1]), bool)
+        ref = batched_attention(q, k, v, ones, impl="dense")
+        out = flash_attention(q, k, v, None, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_full_parity_with_explicit_bound(self):
+        from rap_tpu.ops.pallas_attention import flash_attention
+
+        q, k, v = self._qkv(seed=8)
+        ones = jnp.ones((q.shape[0], q.shape[1]), bool)
+        ref = batched_attention(q, k, v, ones, impl="dense")
+        # any bound >= max|q.k| is exact (softmax shift invariance)
+        bnd = jnp.max(jnp.abs(jnp.einsum("bqhd,bkhd->bhqk", q, k)))
+        out = flash_attention(q, k, v, None, interpret=True, logit_bound=bnd)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_full_softcap(self):
+        from rap_tpu.ops.pallas_attention import flash_attention
+
+        q, k, v = self._qkv(seed=9, T=256)
+        ones = jnp.ones((q.shape[0], q.shape[1]), bool)
+        ref = batched_attention(q, k, v, ones, impl="dense", softcap=4.0)
+        out = flash_attention(q, k, v, None, softcap=4.0, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_full_non_multiple_T_falls_back(self):
+        """T not a multiple of 128 silently uses the masked kernel."""
+        from rap_tpu.ops.pallas_attention import flash_attention
+
+        q, k, v = self._qkv(seed=10, T=300)
+        ones = jnp.ones((q.shape[0], q.shape[1]), bool)
+        ref = batched_attention(q, k, v, ones, impl="dense")
+        out = flash_attention(q, k, v, None, interpret=True,
+                              block_q=128, block_k=128)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_full_grad_parity(self):
+        from rap_tpu.ops.pallas_attention import flash_attention
+
+        q, k, v = self._qkv(seed=11, T=256)
+        ones = jnp.ones((q.shape[0], q.shape[1]), bool)
+        w = jax.random.normal(jax.random.key(12), q.shape)
+
+        def loss_full(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, None, interpret=True) * w)
+
+        def loss_dense(q, k, v):
+            return jnp.sum(batched_attention(q, k, v, ones, impl="dense") * w)
+
+        gf = jax.grad(loss_full, argnums=(0, 1, 2))(q, k, v)
+        gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gf, gd, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3,
+                err_msg=f"d{name} mismatch (full path)",
+            )
+
+    def test_no_padding_flag_set_only_when_dense(self):
+        full = make_regular_synthetic_batch(
+            jax.random.key(0), points_per_part=[[16, 16], [16, 16]],
+            N=16, P=2, S=2, feat_dim=8,
+        )
+        assert full.no_padding
+        ragged = _tiny_batch()
+        assert not ragged.no_padding
+
+    def test_dit_forward_matches_masked_path_on_dense_batch(self):
+        """no_padding=True (mask-free path) must equal the same batch with
+        the flag cleared (masked path) — the flag is purely an optimization."""
+        full = make_regular_synthetic_batch(
+            jax.random.key(3), points_per_part=[[16, 16], [16, 16]],
+            N=16, P=2, S=2, feat_dim=8,
+        )
+        params = init_dit_params(jax.random.key(0), CFG_TINY)
+        x = jax.random.normal(jax.random.key(1), full.points.shape)
+        t = jnp.asarray([0.3, 0.8])
+        v_fast = dit_forward(params, CFG_TINY, x, t, full, parts_per_sample=2)
+        v_masked = dit_forward(
+            params, CFG_TINY, x, t, full.replace(no_padding=False),
+            parts_per_sample=2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_fast), np.asarray(v_masked), atol=1e-5
+        )
+
+    def test_dit_forward_pallas_full_path(self):
+        """Force impl=pallas on a dense batch: exercises the mask-free kernel
+        (interpret mode on CPU) end to end through the model."""
+        import dataclasses
+
+        cfg = dataclasses.replace(CFG_TINY, attn_impl="pallas")
+        full = make_regular_synthetic_batch(
+            jax.random.key(4),
+            points_per_part=[[128, 128], [128, 128]],
+            N=128, P=2, S=2, feat_dim=8,
+        )
+        params = init_dit_params(jax.random.key(0), cfg)
+        x = jax.random.normal(jax.random.key(1), full.points.shape)
+        t = jnp.asarray([0.3, 0.8])
+        v_pallas = dit_forward(params, cfg, x, t, full, parts_per_sample=2)
+        v_dense = dit_forward(
+            params, CFG_TINY, x, t, full.replace(no_padding=False),
+            parts_per_sample=2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_pallas), np.asarray(v_dense), atol=5e-4, rtol=1e-3
+        )
