@@ -30,6 +30,7 @@ class DiTConfig:
     time_embed_channels: int = 256  # sinusoidal timestep channels
     compute_dtype: jnp.dtype = jnp.bfloat16  # attention/matmul dtype (ref: fp16)
     attn_impl: str = "auto"        # dense | chunked | pallas | auto
+    ff_impl: str = "auto"          # xla | pallas | auto (fused GEGLU kernel)
 
     @property
     def head_dim(self) -> int:

@@ -208,15 +208,22 @@ def _attention_block(
     return _linear(lp[f"{prefix}_out"], out)
 
 
-def _geglu_ff(lp, x):
-    """LayerNorm + GEGLU feed-forward (diffusers layout: hidden, gate = split)."""
-    h = _layer_norm(x, lp["ff_norm"]["scale"], lp["ff_norm"]["bias"])
-    proj = _linear(lp["ff_in"], h)
-    hidden, gate = jnp.split(proj, 2, axis=-1)
-    act = hidden * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(
-        hidden.dtype
+def _geglu_ff(lp, x, impl: str = "auto"):
+    """x + LayerNorm+GEGLU feed-forward, residual included (diffusers layout:
+    hidden, gate = split). Routes through the fused Pallas kernel on TPU
+    (ops/fused_ff.py) and the plain XLA composition elsewhere."""
+    from ..ops.fused_ff import geglu_ff
+
+    return geglu_ff(
+        x,
+        lp["ff_norm"]["scale"],
+        lp["ff_norm"]["bias"],
+        lp["ff_in"]["kernel"],
+        lp["ff_in"]["bias"],
+        lp["ff_out"]["kernel"],
+        lp["ff_out"]["bias"],
+        impl=impl,
     )
-    return _linear(lp["ff_out"], act)
 
 
 def dit_forward(
@@ -275,7 +282,7 @@ def dit_forward(
         h = h + _attention_block(
             lp, "global", h, t_emb, mask, cfg, S, P, True, ring_mesh=ring_mesh
         )
-        h = h + _geglu_ff(lp, h)
+        h = _geglu_ff(lp, h, impl=cfg.ff_impl)  # residual fused into the kernel
         return h, None
 
     if remat:

@@ -444,3 +444,67 @@ class TestPallasFullPath:
         np.testing.assert_allclose(
             np.asarray(v_pallas), np.asarray(v_dense), atol=5e-4, rtol=1e-3
         )
+
+
+class TestFusedFF:
+    """ops/fused_ff.py: fused LN+GEGLU kernel vs the XLA composition."""
+
+    def _args(self, T=512, D=128, DH=256, seed=0):
+        ks = jax.random.split(jax.random.key(seed), 6)
+        x = jax.random.normal(ks[0], (T, D))
+        ws = 1.0 + 0.1 * jax.random.normal(ks[1], (D,))
+        wb = 0.1 * jax.random.normal(ks[2], (D,))
+        wi = jax.random.normal(ks[3], (D, 2 * DH)) * 0.05
+        bi = jax.random.normal(ks[4], (2 * DH,)) * 0.05
+        wo = jax.random.normal(ks[5], (DH, D)) * 0.05
+        bo = jnp.zeros((D,))
+        return x, ws, wb, wi, bi, wo, bo
+
+    def test_kernel_parity_with_xla(self):
+        from rap_tpu.ops.fused_ff import _xla_reference, geglu_ff
+
+        args = self._args()
+        ref = _xla_reference(*args)
+        out = geglu_ff(*args, impl="pallas")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+        )
+
+    def test_grad_parity_with_xla(self):
+        from rap_tpu.ops.fused_ff import _xla_reference, geglu_ff
+
+        args = self._args(seed=1)
+        w = jax.random.normal(jax.random.key(9), args[0].shape)
+
+        def lk(*a):
+            return jnp.sum(geglu_ff(*a, impl="pallas") * w)
+
+        def lr(*a):
+            return jnp.sum(_xla_reference(*a) * w)
+
+        gk = jax.grad(lk, argnums=tuple(range(7)))(*args)
+        gr = jax.grad(lr, argnums=tuple(range(7)))(*args)
+        for a, b in zip(gk, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4
+            )
+
+    def test_illegal_shapes_fall_back(self):
+        from rap_tpu.ops.fused_ff import _xla_reference, geglu_ff
+
+        args = self._args(T=100, D=64, DH=48)  # nothing Mosaic-legal here
+        ref = _xla_reference(*args)
+        out = geglu_ff(*args, impl="auto")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    def test_erf_approx_accuracy(self):
+        from rap_tpu.ops.fused_ff import _erf
+
+        x = jnp.linspace(-5.0, 5.0, 4001)
+        import scipy.special
+
+        ref = scipy.special.erf(np.asarray(x, np.float64))
+        got = np.asarray(_erf(x), np.float64)
+        # 1.5e-7 approximation error + fp32 evaluation rounding; far below
+        # the bf16 output precision (~4e-3 relative) the kernel runs at
+        assert np.abs(got - ref).max() < 1e-6
