@@ -124,17 +124,23 @@ def _layer_norm(x, scale=None, bias=None, eps: float = 1e-5):
     return y.astype(x.dtype)
 
 
+def _adaln_mlp(p, t_emb_sin):
+    """Timestep MLP of Adaptive LayerNorm (ref norm.py:36-76): (G, C) per-part
+    sinusoidal embedding -> (G, 2D) (scale | shift) modulation."""
+    e = _linear(p["time_mlp1"], t_emb_sin.astype(jnp.float32))
+    e = jax.nn.silu(e)
+    e = _linear(p["time_mlp2"], e)
+    e = jax.nn.silu(e)
+    return _linear(p["ada_linear"], e)  # (G, 2D)
+
+
 def _adaln(p, x, t_emb_sin):
     """Adaptive LayerNorm (ref norm.py:36-76): timestep MLP -> (scale, shift).
 
     x: (G, N, D); t_emb_sin: (G, C) per-part sinusoidal timestep embedding
     (already gathered from per-sample timesteps).
     """
-    e = _linear(p["time_mlp1"], t_emb_sin.astype(jnp.float32))
-    e = jax.nn.silu(e)
-    e = _linear(p["time_mlp2"], e)
-    e = jax.nn.silu(e)
-    e = _linear(p["ada_linear"], e)  # (G, 2D)
+    e = _adaln_mlp(p, t_emb_sin)
     scale, shift = jnp.split(e, 2, axis=-1)
     y = _layer_norm(x)
     return (
@@ -165,6 +171,57 @@ def _attention_block(
     """
     G, N, D = x.shape
     H, dh = cfg.num_heads, cfg.head_dim
+
+    # ---- fully-fused fast path (dense batch, qk-norm, no softcap) ---------
+    # fused AdaLN+QKV projection emits head-major pre-scaled tensors that the
+    # no-padding flash kernel consumes directly: zero transposes/pads between
+    # the two kernels (ops/fused_proj.py + flash_attention_headmajor).
+    on_tpu = jax.default_backend() == "tpu"
+    seq_len = P * N if is_global else N
+    fused_ok = (
+        mask is None
+        and ring_mesh is None
+        and cfg.qk_norm
+        and cfg.softcap == 0.0
+        and cfg.attn_impl in ("auto", "pallas")
+        and (on_tpu or cfg.attn_impl == "pallas")
+        and (seq_len >= 1024 or cfg.attn_impl == "pallas")
+        and seq_len % 128 == 0
+        and D % 128 == 0
+        and dh % 8 == 0
+    )
+    if fused_ok:
+        from ..ops.fused_proj import adaln_qkv
+        from ..ops.pallas_attention import flash_attention_headmajor
+
+        gamma_q = lp[f"{prefix}_q_gamma"]
+        gamma_k = lp[f"{prefix}_k_gamma"]
+        ada = _adaln_mlp(lp[f"{prefix}_prenorm"], t_emb)  # (G, 2D)
+        qh5, kh5, vah5 = adaln_qkv(
+            x, ada, lp[f"{prefix}_qkv"]["kernel"], gamma_q, gamma_k,
+            P=P, is_global=is_global, impl=cfg.attn_impl,
+            interpret=not on_tpu,
+        )
+        S_ = G // P
+        B = S_ if is_global else G
+        qh = qh5.reshape(B * H, seq_len, dh)
+        kh = kh5.reshape(B * H, seq_len, dh)
+        vah = vah5.reshape(B * H, seq_len, dh + 1)
+        # base-2 bound: ||q|| <= max|gamma_q|*log2e, ||k|| <= sqrt(dh)*max|gamma_k|
+        bound2 = (
+            math.log2(math.e) * math.sqrt(dh)
+            * jnp.max(jnp.abs(gamma_q)) * jnp.max(jnp.abs(gamma_k))
+        )
+        out_hm = flash_attention_headmajor(
+            qh, kh, vah, bound2, interpret=not on_tpu
+        )  # (B*H, seq, dh)
+        out = (
+            out_hm.reshape(B, H, seq_len, dh)
+            .transpose(0, 2, 1, 3)
+            .reshape(G, N, D)
+        )
+        return _linear(lp[f"{prefix}_out"], out)
+
     h = _adaln(lp[f"{prefix}_prenorm"], x, t_emb)
     qkv = _linear(lp[f"{prefix}_qkv"], h)  # (G, N, 3D)
     qkv = qkv.reshape(G, N, 3, H, dh)

@@ -1,0 +1,219 @@
+"""Fused AdaLN-modulate + QKV projection + qk-norm, head-major output.
+
+Replaces the XLA chain LN -> modulate -> qkv matmul -> per-head RMS-norm ->
+transpose-to-head-major -> V ones-pad that feeds the attention kernels
+(reference: layer.py:134-150 + norm.py; our dit.py `_attention_block`). Each
+XLA stage streams the (T, 3D) tensors through HBM; measured on the bench
+trace, the transposes/reshapes/pads alone are ~10% of device time. This
+kernel does it all in one pass and writes q/k/v in the exact physical layout
+the flash kernels consume:
+
+  part attention:   q,k (G, H, N, dh), va (G, H, N, dh+1)  [ones column]
+  global attention: q,k (S, H, P, N, dh), va (S, H, P, N, dh+1)
+
+both reshape for free to the kernels' (B*H, T, d) head-major layout (the
+global variant swaps H in front of P *during the DMA write*, which a reshape
+cannot do).
+
+qk-norm gammas arrive pre-folded with the softmax scale so q leaves the
+kernel in the flash kernels' pre-scaled base-2 domain:
+  gq_eff = gamma_q * log2(e)   [sqrt(dh) from rms-norm cancels 1/sqrt(dh)]
+  gk_eff = gamma_k * sqrt(dh)
+
+Differentiation: custom_vjp whose backward recomputes through the plain XLA
+composition (exact same math; see fused_ff.py for the pattern).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+
+
+def _ln(xf, eps=1e-5):
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    return (xf - mu) * jax.lax.rsqrt(var + eps)
+
+
+def _proj_kernel(
+    x_ref, sc_ref, sh_ref, w_ref, gq_ref, gk_ref, q_ref, k_ref, va_ref,
+    *, H: int, dh: int, D: int, is_global: bool,
+):
+    x = x_ref[0]                      # (bt, D)
+    sc = sc_ref[0].astype(jnp.float32)   # (1, D) AdaLN scale
+    sh = sh_ref[0].astype(jnp.float32)   # (1, D) AdaLN shift
+    h = _ln(x.astype(jnp.float32))
+    h = h * (1.0 + sc) + sh
+    h = h.astype(x.dtype)
+    y = jax.lax.dot_general(
+        h, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bt, 3D)
+
+    def rms(c, g2):
+        r = jax.lax.rsqrt(jnp.sum(c * c, axis=-1, keepdims=True) + 1e-12)
+        return (c * r * g2).astype(x.dtype)  # g2: (1, dh)
+
+    ones = jnp.ones((y.shape[0], 1), x.dtype)
+    for i in range(H):
+        qc = y[:, i * dh:(i + 1) * dh]
+        kc = y[:, D + i * dh:D + (i + 1) * dh]
+        vc = y[:, 2 * D + i * dh:2 * D + (i + 1) * dh]
+        qt = rms(qc, gq_ref[i:i + 1, :])
+        kt = rms(kc, gk_ref[i:i + 1, :])
+        vt = jnp.concatenate([vc.astype(x.dtype), ones], axis=-1)
+        if is_global:
+            q_ref[0, i, 0] = qt
+            k_ref[0, i, 0] = kt
+            va_ref[0, i, 0] = vt
+        else:
+            q_ref[0, i] = qt
+            k_ref[0, i] = kt
+            va_ref[0, i] = vt
+
+
+def _kernel_call(x, ada, w, gq_eff, gk_eff, P, block, is_global, interpret):
+    G, N, D = x.shape
+    H, dh = gq_eff.shape
+    S = G // P
+    dt = x.dtype
+    if is_global:
+        out_shape = [
+            jax.ShapeDtypeStruct((S, H, P, N, dh), dt),
+            jax.ShapeDtypeStruct((S, H, P, N, dh), dt),
+            jax.ShapeDtypeStruct((S, H, P, N, dh + 1), dt),
+        ]
+        qk_spec = pl.BlockSpec(
+            (1, H, 1, block, dh), lambda g, i: (g // P, 0, g % P, i, 0)
+        )
+        va_spec = pl.BlockSpec(
+            (1, H, 1, block, dh + 1), lambda g, i: (g // P, 0, g % P, i, 0)
+        )
+    else:
+        out_shape = [
+            jax.ShapeDtypeStruct((G, H, N, dh), dt),
+            jax.ShapeDtypeStruct((G, H, N, dh), dt),
+            jax.ShapeDtypeStruct((G, H, N, dh + 1), dt),
+        ]
+        qk_spec = pl.BlockSpec((1, H, block, dh), lambda g, i: (g, 0, i, 0))
+        va_spec = pl.BlockSpec((1, H, block, dh + 1), lambda g, i: (g, 0, i, 0))
+    return pl.pallas_call(
+        functools.partial(
+            _proj_kernel, H=H, dh=dh, D=D, is_global=is_global
+        ),
+        grid=(G, N // block),
+        in_specs=[
+            pl.BlockSpec((1, block, D), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((1, 1, D), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, 1, D), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((D, 3 * D), lambda g, i: (0, 0)),
+            pl.BlockSpec((H, dh), lambda g, i: (0, 0)),
+            pl.BlockSpec((H, dh), lambda g, i: (0, 0)),
+        ],
+        out_specs=[qk_spec, qk_spec, va_spec],
+        out_shape=out_shape,
+        compiler_params=_VMEM,
+        interpret=interpret,
+    )(
+        x,
+        ada[:, None, :D].astype(jnp.float32),
+        ada[:, None, D:].astype(jnp.float32),
+        w.astype(dt),
+        gq_eff.astype(jnp.float32),
+        gk_eff.astype(jnp.float32),
+    )
+
+
+def xla_reference(x, ada, w, gq_eff, gk_eff, P, is_global):
+    """Exact-math composition (backward path + CPU fallback + tests)."""
+    G, N, D = x.shape
+    H, dh = gq_eff.shape
+    S = G // P
+    scale, shift = jnp.split(ada.astype(jnp.float32), 2, axis=-1)
+    h = _ln(x.astype(jnp.float32))
+    h = (h * (1.0 + scale[:, None, :]) + shift[:, None, :]).astype(x.dtype)
+    y = (h @ w.astype(x.dtype)).astype(jnp.float32)
+    y = y.reshape(G, N, 3, H, dh)
+
+    def rms(c, g):
+        r = jax.lax.rsqrt(jnp.sum(c * c, axis=-1, keepdims=True) + 1e-12)
+        return (c * r * g).astype(x.dtype)
+
+    q = rms(y[:, :, 0], gq_eff)
+    k = rms(y[:, :, 1], gk_eff)
+    v = y[:, :, 2].astype(x.dtype)
+    va = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, 1)), constant_values=1.0)
+    if is_global:
+        # (G,N,H,e) -> (S,H,P,N,e)
+        def to_g(a):
+            e = a.shape[-1]
+            return a.reshape(S, P, N, H, e).transpose(0, 3, 1, 2, 4)
+
+        return to_g(q), to_g(k), to_g(va)
+    def to_p(a):
+        return a.transpose(0, 2, 1, 3)  # (G,H,N,e)
+
+    return to_p(q), to_p(k), to_p(va)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fused(x, ada, w, gq_eff, gk_eff, P, block, is_global, interpret):
+    return _kernel_call(x, ada, w, gq_eff, gk_eff, P, block, is_global, interpret)
+
+
+def _fused_fwd(x, ada, w, gq_eff, gk_eff, P, block, is_global, interpret):
+    out = _kernel_call(x, ada, w, gq_eff, gk_eff, P, block, is_global, interpret)
+    return out, (x, ada, w, gq_eff, gk_eff)
+
+
+def _fused_bwd(P, block, is_global, interpret, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: xla_reference(*a, P=P, is_global=is_global), *res
+    )
+    return vjp(g)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def adaln_qkv(
+    x: jax.Array,        # (G, N, D) activations
+    ada: jax.Array,      # (G, 2D) AdaLN (scale | shift), from the t-emb MLP
+    w: jax.Array,        # (D, 3D) fused QKV weight (no bias, ref layer.py)
+    gamma_q: jax.Array,  # (H, dh) qk-norm gains (unfolded)
+    gamma_k: jax.Array,  # (H, dh)
+    P: int,
+    is_global: bool,
+    impl: str = "auto",
+    interpret: bool = False,
+):
+    """Returns head-major (q, k, v_aug); q pre-scaled to the flash kernels'
+    base-2 domain, v_aug carries the ones column for the in-matmul rowsum.
+
+    part:   q,k (G,H,N,dh), va (G,H,N,dh+1) -> reshape (G*H, N, e) free
+    global: q,k (S,H,P,N,dh), va (...)      -> reshape (S*H, P*N, e) free
+    """
+    G, N, D = x.shape
+    H, dh = gamma_q.shape
+    gq_eff = gamma_q * math.log2(math.e)
+    gk_eff = gamma_k * math.sqrt(dh)
+    block = next((b for b in (512, 1024, 256, 128) if N % b == 0), None)
+    legal = (
+        D % 128 == 0 and dh % 8 == 0 and block is not None and G % P == 0
+    )
+    on_tpu = jax.default_backend() == "tpu"
+    use_kernel = impl == "pallas" or (impl == "auto" and legal and on_tpu)
+    if not use_kernel:
+        return xla_reference(x, ada, w, gq_eff, gk_eff, P, is_global)
+    return _fused(
+        x, ada, w, gq_eff, gk_eff, P, block, is_global,
+        interpret or not on_tpu,
+    )

@@ -212,14 +212,15 @@ def _flash_fwd_full_kernel(
         lse_ref[0, 0] = (bound_ref[0] + jnp.log2(l))[:, 0]
 
 
-def _fwd_full_impl(qh, kh, vh, bound, softcap, block_q, block_k, interpret):
-    """No-padding head-major forward. qh pre-scaled; bound: (1,) fp32 upper
-    bound on the base-2 logits (softmax is shift-invariant, so any valid
-    bound is exact). Returns (out (BH,T,d), lse2 (BH,1,T) fp32)."""
-    BH, Tq, d = qh.shape
-    Tk = kh.shape[1]
+def _fwd_full_impl(qh, kh, vha, bound, softcap, block_q, block_k, interpret):
+    """No-padding head-major forward. qh pre-scaled; vha ones-AUGMENTED
+    (BH,T,d+1); bound: (1,) fp32 upper bound on the base-2 logits (softmax is
+    shift-invariant, so any valid bound is exact). Returns (out (BH,T,d),
+    lse2 (BH,1,T) fp32)."""
+    BH, Tq, _ = qh.shape
+    Tk = vha.shape[1]
+    d = vha.shape[2] - 1
     nq, nk = Tq // block_q, Tk // block_k
-    vha = jnp.pad(vh, ((0, 0), (0, 0), (0, 1)), constant_values=1.0)
     out, lse = pl.pallas_call(
         functools.partial(
             _flash_fwd_full_kernel, softcap=softcap, num_k_blocks=nk, d=d
@@ -249,22 +250,25 @@ def _fwd_full_impl(qh, kh, vh, bound, softcap, block_q, block_k, interpret):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_hm_full(qh, kh, vh, bound, softcap, block_q, block_k, interpret):
+def _flash_hm_full_va(qh, kh, vha, bound, softcap, block_q, block_k, interpret):
     out, _ = _fwd_full_impl(
-        qh, kh, vh, bound, softcap, block_q, block_k, interpret
+        qh, kh, vha, bound, softcap, block_q, block_k, interpret
     )
     return out
 
 
-def _flash_hm_full_fwd(qh, kh, vh, bound, softcap, block_q, block_k, interpret):
+def _flash_hm_full_va_fwd(qh, kh, vha, bound, softcap, block_q, block_k,
+                          interpret):
     out, lse = _fwd_full_impl(
-        qh, kh, vh, bound, softcap, block_q, block_k, interpret
+        qh, kh, vha, bound, softcap, block_q, block_k, interpret
     )
-    return out, (qh, kh, vh, out, lse)
+    return out, (qh, kh, vha, out, lse)
 
 
-def _flash_hm_full_bwd(softcap, block_q, block_k, interpret, res, dout):
-    qh, kh, vh, out, lse = res
+def _flash_hm_full_va_bwd(softcap, block_q, block_k, interpret, res, dout):
+    qh, kh, vha, out, lse = res
+    d = vha.shape[2] - 1
+    vh = vha[:, :, :d]
     B = 1  # all-valid mask shared by every (batch, head) row
     maski = jnp.ones((B, 1, kh.shape[1]), jnp.int32)
     bq = _divisor_cap(block_q, 512)
@@ -273,11 +277,40 @@ def _flash_hm_full_bwd(softcap, block_q, block_k, interpret, res, dout):
         qh, kh, vh, maski, out, lse, dout.astype(qh.dtype),
         softcap, bq, bk, interpret,
     )
+    dva = jnp.pad(dv, ((0, 0), (0, 0), (0, 1)))  # ones column: zero cotangent
     dbound = jnp.zeros((1,), jnp.float32)  # softmax is shift-invariant
-    return dq, dk, dv, dbound
+    return dq, dk, dva, dbound
 
 
-_flash_hm_full.defvjp(_flash_hm_full_fwd, _flash_hm_full_bwd)
+_flash_hm_full_va.defvjp(_flash_hm_full_va_fwd, _flash_hm_full_va_bwd)
+
+
+def _flash_hm_full(qh, kh, vh, bound, softcap, block_q, block_k, interpret):
+    """Unaugmented-v convenience wrapper (the pad differentiates normally)."""
+    vha = jnp.pad(vh, ((0, 0), (0, 0), (0, 1)), constant_values=1.0)
+    return _flash_hm_full_va(
+        qh, kh, vha, bound, softcap, block_q, block_k, interpret
+    )
+
+
+def flash_attention_headmajor(
+    qh: jax.Array,      # (BH, T, d) PRE-SCALED q (base-2 domain)
+    kh: jax.Array,      # (BH, T, d)
+    vah: jax.Array,     # (BH, T, d+1) ones-augmented v
+    logit_bound2,       # scalar/(1,): upper bound on base-2 logits q·k
+    softcap: float = 0.0,
+    interpret: bool = False,
+) -> jax.Array:
+    """No-padding flash attention on pre-laid-out head-major tensors (the
+    fused AdaLN+QKV projection kernel in ops/fused_proj.py emits exactly this
+    layout/domain — no transposes, scales, or pads between the two kernels).
+    Differentiable. Returns (BH, T, d)."""
+    Tq = qh.shape[1]
+    Tk = kh.shape[1]
+    assert Tq % 128 == 0 and Tk % 128 == 0, "headmajor path needs %128 dims"
+    bq, bk = _full_block_sizes(Tq, Tk)
+    bound = jnp.reshape(logit_bound2, (1,)).astype(jnp.float32)
+    return _flash_hm_full_va(qh, kh, vah, bound, softcap, bq, bk, interpret)
 
 
 # ---------------------------------------------------------------------------

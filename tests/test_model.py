@@ -508,3 +508,81 @@ class TestFusedFF:
         # 1.5e-7 approximation error + fp32 evaluation rounding; far below
         # the bf16 output precision (~4e-3 relative) the kernel runs at
         assert np.abs(got - ref).max() < 1e-6
+
+
+class TestFusedProjPath:
+    """ops/fused_proj.py + flash_attention_headmajor: the fully-fused
+    AdaLN+QKV -> flash pipeline on dense batches."""
+
+    CFG = DiTConfig(
+        embed_dim=128, num_layers=2, num_heads=2,
+        compute_dtype=jnp.float32, local_feat_dim=8, attn_impl="pallas",
+    )
+
+    def _dense_batch(self, N=128, seed=5):
+        return make_regular_synthetic_batch(
+            jax.random.key(seed), points_per_part=[[N, N], [N, N]],
+            N=N, P=2, S=2, feat_dim=8,
+        )
+
+    def test_adaln_qkv_kernel_parity(self):
+        from rap_tpu.ops.fused_proj import adaln_qkv, xla_reference
+
+        G, N, D, H, dh = 4, 128, 128, 2, 64
+        ks = jax.random.split(jax.random.key(0), 5)
+        x = jax.random.normal(ks[0], (G, N, D))
+        ada = 0.1 * jax.random.normal(ks[1], (G, 2 * D))
+        w = jax.random.normal(ks[2], (D, 3 * D)) * 0.05
+        gq = 1.0 + 0.1 * jax.random.normal(ks[3], (H, dh))
+        gk = 1.0 + 0.1 * jax.random.normal(ks[4], (H, dh))
+        import math as _m
+
+        for is_global in (False, True):
+            ref = xla_reference(
+                x, ada, w, gq * _m.log2(_m.e), gk * _m.sqrt(dh), 2, is_global
+            )
+            got = adaln_qkv(x, ada, w, gq, gk, P=2, is_global=is_global,
+                            impl="pallas")
+            for r, g, name in zip(ref, got, ("q", "k", "va")):
+                np.testing.assert_allclose(
+                    np.asarray(g), np.asarray(r), atol=3e-5, rtol=1e-4,
+                    err_msg=f"{name} is_global={is_global}",
+                )
+
+    def test_dit_fused_path_matches_masked(self):
+        full = self._dense_batch()
+        params = init_dit_params(jax.random.key(0), self.CFG)
+        x = jax.random.normal(jax.random.key(1), full.points.shape)
+        t = jnp.asarray([0.3, 0.8])
+        v_fused = dit_forward(params, self.CFG, x, t, full, parts_per_sample=2)
+        import dataclasses
+
+        cfg_dense = dataclasses.replace(self.CFG, attn_impl="dense")
+        v_ref = dit_forward(
+            params, cfg_dense, x, t, full.replace(no_padding=False),
+            parts_per_sample=2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_fused), np.asarray(v_ref), atol=5e-4, rtol=1e-3
+        )
+
+    def test_dit_fused_path_grad(self):
+        full = self._dense_batch(N=128)
+        params = init_dit_params(jax.random.key(0), self.CFG)
+        x = jax.random.normal(jax.random.key(1), full.points.shape)
+        t = jnp.asarray([0.3, 0.8])
+
+        def loss(params, cfg, b):
+            return jnp.mean(
+                dit_forward(params, cfg, x, t, b, parts_per_sample=2) ** 2
+            )
+
+        g_fused = jax.grad(loss)(params, self.CFG, full)
+        import dataclasses
+
+        cfg_dense = dataclasses.replace(self.CFG, attn_impl="dense")
+        g_ref = jax.grad(loss)(params, cfg_dense, full.replace(no_padding=False))
+        for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4, rtol=2e-3
+            )
