@@ -161,7 +161,9 @@ def _attention_block(
     lp, prefix, x, t_emb, mask, cfg: DiTConfig, S: int, P: int, is_global: bool,
     ring_mesh=None,
 ):
-    """One AdaLN-prenorm attention sub-block; returns the residual branch.
+    """One AdaLN-prenorm attention sub-block; returns x + branch (the
+    residual add is fused into the output-projection kernel on the fast
+    path).
 
     ``ring_mesh``: when set and this is the global attention of an S==1
     batch, the P*N token sequence shards across the mesh's data axis and
@@ -191,7 +193,7 @@ def _attention_block(
         and dh % 8 == 0
     )
     if fused_ok:
-        from ..ops.fused_proj import adaln_qkv
+        from ..ops.fused_proj import adaln_qkv, attn_out
         from ..ops.pallas_attention import flash_attention_headmajor
 
         gamma_q = lp[f"{prefix}_q_gamma"]
@@ -215,12 +217,12 @@ def _attention_block(
         out_hm = flash_attention_headmajor(
             qh, kh, vah, bound2, interpret=not on_tpu
         )  # (B*H, seq, dh)
-        out = (
-            out_hm.reshape(B, H, seq_len, dh)
-            .transpose(0, 2, 1, 3)
-            .reshape(G, N, D)
+        a5 = out_hm.reshape(qh5.shape)  # back to the 4-/5-D head-major layout
+        return attn_out(
+            a5, x, lp[f"{prefix}_out"]["kernel"], lp[f"{prefix}_out"]["bias"],
+            P=P, is_global=is_global, impl=cfg.attn_impl,
+            interpret=not on_tpu,
         )
-        return _linear(lp[f"{prefix}_out"], out)
 
     h = _adaln(lp[f"{prefix}_prenorm"], x, t_emb)
     qkv = _linear(lp[f"{prefix}_qkv"], h)  # (G, N, 3D)
@@ -254,7 +256,7 @@ def _attention_block(
             out = ring_attention(
                 q, k, v, rmask, ring_mesh, softcap=cfg.softcap
             )
-            return _linear(lp[f"{prefix}_out"], out.reshape(G, N, D))
+            return x + _linear(lp[f"{prefix}_out"], out.reshape(G, N, D))
     else:
         kv_mask = mask
     out = batched_attention(
@@ -262,7 +264,7 @@ def _attention_block(
         logit_bound=logit_bound,
     )
     out = out.reshape(G, N, D)
-    return _linear(lp[f"{prefix}_out"], out)
+    return x + _linear(lp[f"{prefix}_out"], out)
 
 
 def _geglu_ff(lp, x, impl: str = "auto"):
@@ -335,11 +337,12 @@ def dit_forward(
 
     # ---- transformer layers (scan over stacked params) --------------------
     def layer_fn(h, lp):
-        h = h + _attention_block(lp, "self", h, t_emb, mask, cfg, S, P, False)
-        h = h + _attention_block(
+        # each sub-block returns h + branch (residuals fused into kernels)
+        h = _attention_block(lp, "self", h, t_emb, mask, cfg, S, P, False)
+        h = _attention_block(
             lp, "global", h, t_emb, mask, cfg, S, P, True, ring_mesh=ring_mesh
         )
-        h = _geglu_ff(lp, h, impl=cfg.ff_impl)  # residual fused into the kernel
+        h = _geglu_ff(lp, h, impl=cfg.ff_impl)
         return h, None
 
     if remat:

@@ -217,3 +217,106 @@ def adaln_qkv(
         x, ada, w, gq_eff, gk_eff, P, block, is_global,
         interpret or not on_tpu,
     )
+
+
+# ---------------------------------------------------------------------------
+# fused attention-output projection: head-major attn result -> token-major
+# out-projection + residual, one kernel (the inverse layout fold of adaln_qkv)
+# ---------------------------------------------------------------------------
+
+def _out_kernel(a_ref, res_ref, w_ref, b_ref, out_ref,
+                *, H: int, dh: int, is_global: bool):
+    if is_global:
+        parts = [a_ref[0, i, 0] for i in range(H)]   # each (bt, dh)
+    else:
+        parts = [a_ref[0, i] for i in range(H)]
+    xcat = jnp.concatenate(parts, axis=-1)           # (bt, H*dh)
+    y = jax.lax.dot_general(
+        xcat, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ref[0].astype(jnp.float32)
+    out_ref[0] = res_ref[0] + y.astype(out_ref.dtype)
+
+
+def _out_call(a5, res, w, b, P, block, is_global, interpret):
+    G, N, D = res.shape
+    H = a5.shape[1]
+    dh = a5.shape[-1]
+    dt = res.dtype
+    if is_global:
+        a_spec = pl.BlockSpec(
+            (1, H, 1, block, dh), lambda g, i: (g // P, 0, g % P, i, 0)
+        )
+    else:
+        a_spec = pl.BlockSpec((1, H, block, dh), lambda g, i: (g, 0, i, 0))
+    return pl.pallas_call(
+        functools.partial(_out_kernel, H=H, dh=dh, is_global=is_global),
+        grid=(G, N // block),
+        in_specs=[
+            a_spec,
+            pl.BlockSpec((1, block, D), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((H * dh, D), lambda g, i: (0, 0)),
+            pl.BlockSpec((1, D), lambda g, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block, D), lambda g, i: (g, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, N, D), dt),
+        compiler_params=_VMEM,
+        interpret=interpret,
+    )(a5, res, w.astype(dt), b.astype(dt)[None])
+
+
+def out_xla_reference(a5, res, w, b, P, is_global):
+    G, N, D = res.shape
+    H, dh = a5.shape[1], a5.shape[-1]
+    if is_global:
+        S = G // P
+        # (S,H,P,N,dh) -> (G,N,H*dh)
+        x = a5.transpose(0, 2, 3, 1, 4).reshape(G, N, H * dh)
+    else:
+        x = a5.transpose(0, 2, 1, 3).reshape(G, N, H * dh)
+    y = x.astype(res.dtype) @ w.astype(res.dtype) + b.astype(res.dtype)
+    return res + y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _fused_out(a5, res, w, b, P, block, is_global, interpret):
+    return _out_call(a5, res, w, b, P, block, is_global, interpret)
+
+
+def _fused_out_fwd(a5, res, w, b, P, block, is_global, interpret):
+    return _out_call(a5, res, w, b, P, block, is_global, interpret), (
+        a5, res, w, b,
+    )
+
+
+def _fused_out_bwd(P, block, is_global, interpret, rs, g):
+    _, vjp = jax.vjp(
+        lambda *a: out_xla_reference(*a, P=P, is_global=is_global), *rs
+    )
+    return vjp(g)
+
+
+_fused_out.defvjp(_fused_out_fwd, _fused_out_bwd)
+
+
+def attn_out(
+    a5: jax.Array,    # part: (G,H,N,dh); global: (S,H,P,N,dh)
+    res: jax.Array,   # (G, N, D) residual input
+    w: jax.Array,     # (H*dh, D)
+    b: jax.Array,     # (D,)
+    P: int,
+    is_global: bool,
+    impl: str = "auto",
+    interpret: bool = False,
+) -> jax.Array:
+    """res + attn_out @ W + b, folding the head-major -> token-major layout
+    change into the projection kernel's DMA reads."""
+    G, N, D = res.shape
+    block = next((bb for bb in (512, 1024, 256, 128) if N % bb == 0), None)
+    legal = D % 128 == 0 and block is not None and G % P == 0
+    on_tpu = jax.default_backend() == "tpu"
+    use_kernel = impl == "pallas" or (impl == "auto" and legal and on_tpu)
+    if not use_kernel:
+        return out_xla_reference(a5, res, w, b, P, is_global)
+    return _fused_out(a5, res, w, b, P, block, is_global,
+                      interpret or not on_tpu)
