@@ -56,27 +56,44 @@ def _proj_kernel(
     y = jax.lax.dot_general(
         h, w_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (bt, 3D)
+    )  # (bt, 3D) fp32 accumulate
 
-    def rms(c, g2):
-        r = jax.lax.rsqrt(jnp.sum(c * c, axis=-1, keepdims=True) + 1e-12)
-        return (c * r * g2).astype(x.dtype)  # g2: (1, dh)
+    # Per-head rms at full lane width: sum-of-squares per 64-lane head group
+    # via a (D, H) 0/1 selector matmul, rsqrt on the narrow (bt, H) result,
+    # then broadcast back to (bt, D) with the transposed selector. Two tiny
+    # MXU passes replace H per-head lane-slice/rsqrt chains on the VPU (the
+    # per-head loop measured 45% MFU; lane extraction dominated).
+    jj = jax.lax.broadcasted_iota(jnp.int32, (D, H), 0)
+    hh = jax.lax.broadcasted_iota(jnp.int32, (D, H), 1)
+    sel = (jj // dh == hh).astype(jnp.float32)          # (D, H)
+    qsec = y[:, :D]
+    ksec = y[:, D:2 * D]
+    vn = y[:, 2 * D:].astype(x.dtype)
+    qk = jnp.concatenate([qsec, ksec], axis=0)          # (2bt, D)
+    ss = jax.lax.dot_general(
+        qk * qk, sel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                   # (2bt, H)
+    rfac = jax.lax.rsqrt(ss + 1e-12)
+    rfull = jax.lax.dot_general(
+        rfac, sel, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                   # (2bt, D)
+    bt = y.shape[0]
+    qn = (qsec * rfull[:bt] * gq_ref[0]).astype(x.dtype)
+    kn = (ksec * rfull[bt:] * gk_ref[0]).astype(x.dtype)
 
-    ones = jnp.ones((y.shape[0], 1), x.dtype)
+    ones = jnp.ones((bt, 1), x.dtype)
     for i in range(H):
-        qc = y[:, i * dh:(i + 1) * dh]
-        kc = y[:, D + i * dh:D + (i + 1) * dh]
-        vc = y[:, 2 * D + i * dh:2 * D + (i + 1) * dh]
-        qt = rms(qc, gq_ref[i:i + 1, :])
-        kt = rms(kc, gk_ref[i:i + 1, :])
-        vt = jnp.concatenate([vc.astype(x.dtype), ones], axis=-1)
+        sl = slice(i * dh, (i + 1) * dh)
+        vt = jnp.concatenate([vn[:, sl], ones], axis=-1)
         if is_global:
-            q_ref[0, i, 0] = qt
-            k_ref[0, i, 0] = kt
+            q_ref[0, i, 0] = qn[:, sl]
+            k_ref[0, i, 0] = kn[:, sl]
             va_ref[0, i, 0] = vt
         else:
-            q_ref[0, i] = qt
-            k_ref[0, i] = kt
+            q_ref[0, i] = qn[:, sl]
+            k_ref[0, i] = kn[:, sl]
             va_ref[0, i] = vt
 
 
@@ -115,8 +132,8 @@ def _kernel_call(x, ada, w, gq_eff, gk_eff, P, block, is_global, interpret):
             pl.BlockSpec((1, 1, D), lambda g, i: (g, 0, 0)),
             pl.BlockSpec((1, 1, D), lambda g, i: (g, 0, 0)),
             pl.BlockSpec((D, 3 * D), lambda g, i: (0, 0)),
-            pl.BlockSpec((H, dh), lambda g, i: (0, 0)),
-            pl.BlockSpec((H, dh), lambda g, i: (0, 0)),
+            pl.BlockSpec((1, D), lambda g, i: (0, 0)),
+            pl.BlockSpec((1, D), lambda g, i: (0, 0)),
         ],
         out_specs=[qk_spec, qk_spec, va_spec],
         out_shape=out_shape,
@@ -127,8 +144,8 @@ def _kernel_call(x, ada, w, gq_eff, gk_eff, P, block, is_global, interpret):
         ada[:, None, :D].astype(jnp.float32),
         ada[:, None, D:].astype(jnp.float32),
         w.astype(dt),
-        gq_eff.astype(jnp.float32),
-        gk_eff.astype(jnp.float32),
+        gq_eff.astype(jnp.float32).reshape(1, D),
+        gk_eff.astype(jnp.float32).reshape(1, D),
     )
 
 
@@ -228,6 +245,8 @@ def adaln_qkv(
 
 def _out_kernel(a_ref, res_ref, w_ref, b_ref, out_ref,
                 *, H: int, dh: int, is_global: bool):
+    # concat-then-one-matmul beats sum_h a_h @ W_h per-head accumulation here
+    # (measured: the narrow-K matmuls cost more than the lane relayout saves)
     if is_global:
         parts = [a_ref[0, i, 0] for i in range(H)]   # each (bt, dh)
     else:
