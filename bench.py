@@ -13,9 +13,9 @@ reference on an A100: ~41 TFLOP/pair (12 layers x (2-level flash attention at
 8k tokens + 7.1M-param matmuls) x 10 steps) at ~40% fp16 MFU ~= 3.0
 pairs/sec, ignoring its per-step host-side serial SVD stalls (SURVEY.md §3
 hot loop #2). Measured v5e facts (see BASELINE.md "measured" section): the
-d=64 attention kernel sustains ~63 TFLOP/s amortized — the same shape caps
-the stock jax flash/splash kernels at 24-62 — and PAIRS=2 saturates the chip
-(throughput decreases monotonically with batch beyond it).
+d=64 attention kernel sustains ~79 TFLOP/s amortized — its own matmul-shape
+floor; the same shape caps the stock jax flash/splash kernels at 24-62 — and
+throughput is near-flat in batch (2.68/2.75/2.77 at PAIRS=2/4/8).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -31,7 +31,9 @@ import jax.numpy as jnp
 import numpy as np
 
 REF_GPU_PAIRS_PER_SEC = 3.0
-PAIRS = 2           # pairs per batch (sweep: 2 > 4 > 8 > 16 on one v5e)
+PAIRS = 4           # pairs per batch (sweep: 2: 2.68, 4: 2.75, 8: 2.77/s —
+                    # larger batches amortize the fixed pose-fit/sampler glue;
+                    # 4 keeps p50 latency ~1.5 s while capturing most of it)
 POINTS_PER_PART = 4096
 STEPS = 10
 TFLOP_PER_PAIR = 41.0  # analytic: 24.7 attention + 16.5 projection/FF
