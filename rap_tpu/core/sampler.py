@@ -50,17 +50,35 @@ def flow_sampler(
         condition: (G, N, 3) unposed input parts (used by rigidity forcing).
         point_mask: (G, N) validity mask.
         num_steps: static step count.
-        method: 'euler' (reference registers only euler; sampler.py:154-167).
+        method: 'euler' | 'rk2' | 'rk4'. The reference defines rk2/rk4 step
+            fns but leaves them unregistered (sampler.py:94-167, factory
+            registers euler only); here all three integrate. rk steps cost
+            2x/4x model evaluations per step. Anchor-free like euler (the
+            reference rk anchor clamps belong to its disabled anchored mode).
     """
-    if method != "euler":
-        raise ValueError(f"Unknown sampler: {method}. Available: ['euler']")
+    if method not in ("euler", "rk2", "rk4"):
+        raise ValueError(
+            f"Unknown sampler: {method}. Available: ['euler', 'rk2', 'rk4']"
+        )
     dt = 1.0 / num_steps
 
     def step(x_t, step_idx):
         t = 1.0 - step_idx.astype(jnp.float32) * dt
-        v = velocity_fn(x_t, t)
-        x_0_hat = x_t - v * t
-        x_next = x_t - dt * v
+        v1 = velocity_fn(x_t, t)
+        x_0_hat = x_t - v1 * t
+        if method == "euler":
+            x_next = x_t - dt * v1
+        elif method == "rk2":  # midpoint (ref sampler.py:94-115)
+            t_mid = jnp.maximum(0.0, t - 0.5 * dt)
+            v2 = velocity_fn(x_t - 0.5 * dt * v1, t_mid)
+            x_next = x_t - dt * 0.5 * (v1 + v2)
+        else:  # rk4 (ref sampler.py:117-149)
+            t_half = jnp.maximum(0.0, t - 0.5 * dt)
+            t_next = jnp.maximum(0.0, t - dt)
+            v2 = velocity_fn(x_t - 0.5 * dt * v1, t_half)
+            v3 = velocity_fn(x_t - 0.5 * dt * v2, t_half)
+            v4 = velocity_fn(x_t - dt * v3, t_next)
+            x_next = x_t - dt * (v1 + 2.0 * v2 + 2.0 * v3 + v4) / 6.0
         if rigidity_forcing:
             # note: the recorded end-point trajectory keeps the *raw* x_0_hat,
             # matching reference sampler.py:58-66.

@@ -36,8 +36,8 @@ logger = logging.getLogger("rap_tpu.dataset_process")
 
 @dataclasses.dataclass(frozen=True)
 class SampleProcessorConfig:
-    allocation: str = "voxel_adaptive"   # point_count | voxel_adaptive
-    num_points: int = 8192               # total budget (point_count mode)
+    allocation: str = "voxel_adaptive"   # point_count | spatial_coverage | voxel_adaptive
+    num_points: int = 8192               # total budget (point_count / spatial_coverage)
     min_points_per_part: int = 200
     max_points_per_part: int = 20_000
     voxel_size: float = 0.4              # allocation voxel (voxel_adaptive)
@@ -87,6 +87,11 @@ class SampleProcessor:
             targets = P.allocate_by_point_count(
                 [len(c) for c in cleaned], cfg.num_points,
                 cfg.min_points_per_part, rng,
+            ).tolist()
+        elif cfg.allocation == "spatial_coverage":
+            targets = P.allocate_by_spatial_coverage(
+                cleaned, cfg.num_points, cfg.min_points_per_part,
+                cfg.voxel_size, rng,
             ).tolist()
         else:
             raise ValueError(f"Unknown allocation: {cfg.allocation}")
@@ -177,7 +182,8 @@ def main(argv=None):
     ap.add_argument("--output", required=True)
     ap.add_argument("--dataset-name", default="dataset")
     ap.add_argument("--allocation", default="voxel_adaptive",
-                    choices=["voxel_adaptive", "point_count"])
+                    choices=["voxel_adaptive", "point_count",
+                             "spatial_coverage"])
     ap.add_argument("--num-points", type=int, default=8192)
     ap.add_argument("--max-points-per-part", type=int, default=20_000)
     ap.add_argument("--min-points-per-part", type=int, default=200)

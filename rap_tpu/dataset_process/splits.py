@@ -23,14 +23,45 @@ def make_splits(
     val_fraction: float = 0.1,
     rng: np.random.Generator | None = None,
     keep_sequences_together: bool = True,
+    loop_closure_sequences: set[str] | None = None,
+    guarantee_loop_closure: bool = False,
+    val_sequences: list[str] | None = None,
 ) -> tuple[list[str], list[str]]:
-    """Returns (train, val) sample-name lists."""
+    """Returns (train, val) sample-name lists.
+
+    Sequence-mode extras (ref split_utils.py:33-175): ``val_sequences`` pins
+    named sequences to val (overrides the ratio); ``guarantee_loop_closure``
+    forces at least one sequence from ``loop_closure_sequences`` into train —
+    SLAM-style relocalization training needs a loop-closing sequence on the
+    train side or the model never sees revisit geometry.
+    """
     rng = rng or np.random.default_rng(0)
     if keep_sequences_together:
         seqs = sorted({_sequence_of(n) for n in sample_names})
-        order = rng.permutation(len(seqs))
-        n_val = max(1, int(round(len(seqs) * val_fraction))) if len(seqs) > 1 else 0
-        val_seqs = {seqs[i] for i in order[:n_val]}
+        if val_sequences is not None:
+            known = set(seqs)
+            val_seqs = {s for s in val_sequences if s in known}
+        else:
+            order = rng.permutation(len(seqs))
+            n_val = (
+                max(1, int(round(len(seqs) * val_fraction)))
+                if len(seqs) > 1 else 0
+            )
+            val_seqs = {seqs[i] for i in order[:n_val]}
+            if guarantee_loop_closure and loop_closure_sequences:
+                lc = set(loop_closure_sequences) & set(seqs)
+                if lc and lc <= val_seqs:
+                    # move the largest loop-closure sequence back to train
+                    # and swap in the largest non-loop val candidate
+                    counts = {
+                        s: sum(_sequence_of(n) == s for n in sample_names)
+                        for s in seqs
+                    }
+                    keep = max(lc, key=lambda s: counts[s])
+                    val_seqs.discard(keep)
+                    non_lc = [s for s in seqs if s not in lc and s not in val_seqs]
+                    if non_lc:
+                        val_seqs.add(max(non_lc, key=lambda s: counts[s]))
         train = [n for n in sample_names if _sequence_of(n) not in val_seqs]
         val = [n for n in sample_names if _sequence_of(n) in val_seqs]
     else:

@@ -302,3 +302,50 @@ def allocate_by_point_count(
                 target[i] += 1 if diff > 0 else -1
                 diff += -1 if diff > 0 else 1
     return target
+
+
+def allocate_by_spatial_coverage(
+    parts: list[np.ndarray],
+    num_points: int,
+    min_points_per_part: int,
+    voxel_size: float,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Allocation proportional to per-part voxel coverage rather than point
+    count (ref point_sampling_utils.py:194-261): extras distributed by the
+    share of occupied voxels, remainder balanced one point at a time with
+    coverage-weighted (deficit) / inverse-coverage-weighted (surplus) draws.
+    Favors spatially large sparse parts over dense small ones."""
+    rng = rng or np.random.default_rng(0)
+    pts_per_part = np.array([len(p) for p in parts])
+    coverage = np.array(
+        [voxel_coverage(p, voxel_size) if len(p) else 0 for p in parts],
+        np.float64,
+    )
+    min_per = np.minimum(min_points_per_part, pts_per_part)
+    if min_per.sum() > num_points:
+        scale = num_points / min_per.sum()
+        min_per = np.maximum(1, np.round(min_per * scale).astype(int))
+    target = min_per.copy()
+    remaining = num_points - target.sum()
+    if remaining > 0 and coverage.sum() > 0:
+        cap = pts_per_part - target
+        extra = np.round(coverage / coverage.sum() * remaining).astype(int)
+        target = target + np.minimum(extra, cap)
+        diff = num_points - target.sum()
+        for _ in range(abs(int(diff)) + len(parts)):
+            if diff == 0:
+                break
+            valid = target < pts_per_part if diff > 0 else target > min_per
+            if not valid.any():
+                break
+            idx = np.where(valid)[0]
+            w = coverage[idx]
+            if w.sum() > 0:
+                w = (w if diff > 0 else 1.0 / (w + 1e-8))
+                i = idx[rng.choice(len(idx), p=w / w.sum())]
+            else:
+                i = rng.choice(idx)
+            target[i] += 1 if diff > 0 else -1
+            diff += -1 if diff > 0 else 1
+    return target

@@ -219,6 +219,58 @@ class TestSampler:
         assert res.end_point_trajectory.shape == (10, G, N, 3)
         assert res.trajectory.shape == (10, G, N, 3)
 
+    def test_rk2_rk4_on_analytic_field(self):
+        """rk2/rk4 land on x_0 for the linear field and cost 2x/4x evals."""
+        rng = np.random.default_rng(3)
+        G, N = 2, 16
+        x0 = jnp.asarray(rng.standard_normal((G, N, 3)), dtype=jnp.float32)
+        x1 = jnp.asarray(rng.standard_normal((G, N, 3)), dtype=jnp.float32)
+        v_true = x1 - x0
+        for method, evals_per_step in (("rk2", 2), ("rk4", 4)):
+            calls = []
+
+            def vf(x, t):
+                calls.append(1)
+                return v_true
+
+            res = sampler.flow_sampler(
+                vf, x_1=x1, condition=x0,
+                point_mask=jnp.ones((G, N), bool),
+                num_steps=4, rigidity_forcing=False, method=method,
+            )
+            np.testing.assert_allclose(
+                np.asarray(res.x_final), np.asarray(x0), atol=1e-5
+            )
+            # traced once per scan: evals per step visible in the trace count
+            assert len(calls) == evals_per_step
+
+    def test_rk4_beats_euler_on_curved_field(self):
+        """On the curved field v = -x the sampler integrates dx/dt = v from
+        t=1 down to 0, so x(0) = x1 * e; rk4's endpoint error is orders of
+        magnitude below euler's."""
+        rng = np.random.default_rng(4)
+        x1 = jnp.asarray(rng.standard_normal((1, 8, 3)), dtype=jnp.float32)
+        exact = np.asarray(x1) * np.exp(1.0)
+        errs = {}
+        for method in ("euler", "rk4"):
+            res = sampler.flow_sampler(
+                lambda x, t: -x, x_1=x1, condition=x1,
+                point_mask=jnp.ones((1, 8), bool),
+                num_steps=8, rigidity_forcing=False, method=method,
+            )
+            errs[method] = float(
+                np.abs(np.asarray(res.x_final) - exact).max()
+            )
+        assert errs["rk4"] < errs["euler"] * 1e-3
+
+    def test_unknown_method_raises(self):
+        with np.testing.assert_raises(ValueError):
+            sampler.flow_sampler(
+                lambda x, t: x, x_1=jnp.zeros((1, 4, 3)),
+                condition=jnp.zeros((1, 4, 3)),
+                point_mask=jnp.ones((1, 4), bool), method="heun",
+            )
+
     def test_rigidity_forcing_projects_to_rigid(self):
         """With rigidity forcing on an exact field whose x0 is a rigid motion of
         cond, the final x_t equals that rigid motion."""

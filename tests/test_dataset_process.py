@@ -124,6 +124,33 @@ class TestSplits:
         val_seqs = {n.split("/")[0] for n in val}
         assert not (train_seqs & val_seqs)
 
+    def test_loop_closure_guarantee(self):
+        """If every loop-closing sequence falls in val, one is moved back."""
+        names = [f"seq{i}/s{j}" for i in range(5) for j in range(4)]
+        lc = {"seq2"}
+        # find a seed where seq2 lands in val without the guarantee
+        seed = next(
+            s for s in range(50)
+            if any(n.startswith("seq2/") for n in splits.make_splits(
+                names, 0.2, np.random.default_rng(s))[1])
+        )
+        train, val = splits.make_splits(
+            names, 0.2, np.random.default_rng(seed),
+            loop_closure_sequences=lc, guarantee_loop_closure=True,
+        )
+        train_seqs = {n.split("/")[0] for n in train}
+        assert "seq2" in train_seqs
+        assert sorted(train + val) == sorted(names)
+
+    def test_manual_val_sequences(self):
+        names = [f"seq{i}/s{j}" for i in range(4) for j in range(3)]
+        train, val = splits.make_splits(
+            names, 0.5, np.random.default_rng(0),
+            val_sequences=["seq1", "seq3", "nonexistent"],
+        )
+        assert {n.split("/")[0] for n in val} == {"seq1", "seq3"}
+        assert {n.split("/")[0] for n in train} == {"seq0", "seq2"}
+
     def test_split_files(self, tmp_path):
         splits.write_split_files(tmp_path, ["a/1", "b/2"], ["c/3"])
         assert (tmp_path / "data_split" / "train.txt").read_text() == "a/1\nb/2\n"

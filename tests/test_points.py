@@ -139,6 +139,31 @@ class TestAllocation:
         assert (target >= 50).all() or (target == np.array([1000, 1000, 100])).any()
         assert target[2] <= 100
 
+    def test_spatial_coverage_allocation(self):
+        """A spatially large sparse part outdraws a dense compact one."""
+        rng = np.random.default_rng(1)
+        big_sparse = rng.uniform(0, 10, (400, 3)).astype(np.float32)
+        small_dense = rng.uniform(0, 0.5, (400, 3)).astype(np.float32)
+        target = P.allocate_by_spatial_coverage(
+            [big_sparse, small_dense], 600, min_points_per_part=50,
+            voxel_size=0.5, rng=np.random.default_rng(0),
+        )
+        assert target.sum() == 600
+        assert (target >= 50).all()
+        assert (target <= 400).all()
+        assert target[0] > target[1]
+
+    def test_spatial_coverage_respects_budget_scaling(self):
+        # minimum total exceeds budget -> scaled down, never zero
+        rng = np.random.default_rng(2)
+        parts = [rng.uniform(0, 1, (100, 3)).astype(np.float32) for _ in range(5)]
+        target = P.allocate_by_spatial_coverage(
+            parts, 100, min_points_per_part=50, voxel_size=0.2,
+            rng=np.random.default_rng(0),
+        )
+        assert (target >= 1).all()
+        assert target.sum() <= 5 * 50
+
     def test_adaptive_counts_clamped(self):
         rng = np.random.default_rng(0)
         parts = [rng.uniform(0, 1, (500, 3)), rng.uniform(0, 0.01, (30, 3))]
