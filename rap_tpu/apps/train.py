@@ -169,15 +169,19 @@ def run_train(cfg: Config, max_steps: int | None = None) -> TrainState:
             print_eval_table({"val": results})
             mlog.log_dict(total_steps, results, prefix="val")
             mon = _get_monitor(results, cfg.trainer.monitor)
-            if jax.process_index() == 0:
-                if mon < best_monitor:
-                    best_monitor = mon
-                    save_checkpoint(
-                        ckpt_dir / "best", state,
-                        {"epoch": epoch + 1, "monitor": mon},
-                    )
+            # orbax multi-host save is a collective: EVERY process must call
+            # it (each writes its addressable shards; orbax coordinates the
+            # barrier/finalize). mon is computed from the cross-host-reduced
+            # metrics, so the branch is identical on all processes.
+            if mon < best_monitor:
+                best_monitor = mon
+                save_checkpoint(
+                    ckpt_dir / "best", state,
+                    {"epoch": epoch + 1, "monitor": mon},
+                )
+                if jax.process_index() == 0:
                     logger.info("new best %s=%.4f", cfg.trainer.monitor, mon)
-        if cfg.trainer.keep_last and jax.process_index() == 0:
+        if cfg.trainer.keep_last:
             save_checkpoint(ckpt_dir / "last", state, {"epoch": epoch + 1})
     return state
 

@@ -295,6 +295,14 @@ class PointCloudDataset:
                 num_points = [int(l) for l in npf.read_text().split()]
             else:
                 num_points = [0] * len(frags)
+            if len(num_points) != len(frags):
+                # a stale num_points file must not silently drop fragments
+                # through zip truncation — fall back to unknown sizes
+                logger.warning(
+                    "num_points/%s.txt has %d entries for %d fragments; "
+                    "ignoring it", split_key, len(num_points), len(frags),
+                )
+                num_points = [0] * len(frags)
             kept, counts, npts = [], [], []
             for frag, npnt in zip(frags, num_points):
                 n = len(glob.glob(os.path.join(self.data_path, frag, "*.ply")))
@@ -309,12 +317,27 @@ class PointCloudDataset:
                 raw = h5["data_split"][ds][split_key]
             except KeyError:
                 alt_key = cfg.split + ("" if self.effective_random else "_random")
-                raw = h5["data_split"][ds][alt_key]
+                try:
+                    raw = h5["data_split"][ds][alt_key]
+                except KeyError:
+                    # match the folder branch's graceful degradation instead
+                    # of an opaque h5py KeyError
+                    logger.error(
+                        "no split '%s' (or '%s') for dataset %s in %s",
+                        split_key, alt_key, ds, self.data_path,
+                    )
+                    return [], [], []
                 split_key = alt_key
             frags = [r.decode() if isinstance(r, bytes) else str(r) for r in raw[:]]
             if "num_points" in h5 and ds in h5["num_points"] and split_key in h5["num_points"][ds]:
                 num_points = list(h5["num_points"][ds][split_key][:])
             else:
+                num_points = [0] * len(frags)
+            if len(num_points) != len(frags):
+                logger.warning(
+                    "h5 num_points[%s][%s] has %d entries for %d fragments; "
+                    "ignoring it", ds, split_key, len(num_points), len(frags),
+                )
                 num_points = [0] * len(frags)
             kept, counts, npts = [], [], []
             for frag, npnt in zip(frags, num_points):

@@ -156,20 +156,22 @@ class BatchLoader:
             samples = [ds.get(i, epoch=epoch) for i in idx]
             # shapes MUST come from the plan: other processes hold other
             # samples and a data-derived bucket would diverge across hosts.
-            # A plan-size undershoot (estimates come from num_points files or
-            # a default) is unfixable here — fail with an actionable message
-            # instead of an AssertionError in the prefetch thread.
-            oversized = [
-                s.name for s in samples if s.max_part_points > plan.N
-            ]
+            # Plan sizes are estimates (num_points files store fragment
+            # TOTALS; total/parts undershoots the max part of imbalanced
+            # fragments), so an oversized part is degraded — truncated to the
+            # planned bucket — rather than crashing the epoch. Parts arrive
+            # point-shuffled from the augmentation (ref dataset.py:826), so
+            # keeping the first N is a uniform subsample.
+            oversized = [s.name for s in samples if s.max_part_points > plan.N]
             if oversized:
-                raise ValueError(
-                    f"planned bucket N={plan.N} is smaller than the true max "
-                    f"part size of {oversized[:3]}; multi-process slice mode "
-                    "cannot rebucket (shapes must agree across hosts). "
-                    "Provide accurate num_points files or raise "
-                    "max_points_per_batch / preprocess parts to a fixed size."
+                logger.warning(
+                    "planned bucket N=%d < true max part size of %s; "
+                    "truncating to fit (slice mode cannot rebucket — shapes "
+                    "must agree across hosts). Accurate per-part sizes need "
+                    "smaller fragments or a larger max_points_per_batch.",
+                    plan.N, oversized[:3],
                 )
+                samples = [self._truncate_parts(s, plan.N) for s in samples]
             batch, names = collate_to_part_batch(
                 samples, plan.N, plan.P, per, sample_offset=lo,
                 feat_dim=ds.cfg.feat_dim,
@@ -189,6 +191,17 @@ class BatchLoader:
             self.padding_stats.add(batch)
             out.append((batch, names, ds.cfg.dataset_name))
         return out
+
+    @staticmethod
+    def _truncate_parts(s: Sample, n: int) -> Sample:
+        if s.max_part_points <= n:
+            return s
+        return dataclasses.replace(
+            s,
+            points=[p[:n] for p in s.points],
+            points_gt=[p[:n] for p in s.points_gt],
+            features=[f[:n] for f in s.features],
+        )
 
     def _rebucket(self, samples: list[Sample], plan: BatchPlan):
         """Split a loaded batch if true (not estimated) sizes exceed the
@@ -223,17 +236,30 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=max(self.cfg.prefetch, 1))
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """put that aborts when the consumer is gone (early exit from
+            epoch() sets `stop` while the bounded queue may be full — a plain
+            q.put would pin this thread plus its loaded batches forever)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for d_idx, plan in plans:
                     if stop.is_set():
                         return
                     for item in self._load_batch(d_idx, plan, epoch):
-                        q.put(item)
+                        if not put(item):
+                            return
             except Exception as e:  # surface loader errors to the consumer
-                q.put(e)
+                put(e)
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

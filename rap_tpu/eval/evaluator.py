@@ -110,18 +110,22 @@ class Evaluator:
                     "rigidity_rmse (m)": rig,
                 }
             )
-            if self.cfg.rmse_eval_on and batch.G // batch.S == 2:
+            if self.cfg.rmse_eval_on and batch.G // batch.S >= 2:
                 rmse, ratio, terr = M.correspondence_rmse_pairs(
                     batch, rotations_pred, translations_pred
                 )
+                # non-pair samples carry inf rmse; their recalls become NaN
+                # so the meter excludes them instead of counting misses
+                pair = jnp.isfinite(rmse)
+                nanify = lambda v: jnp.where(pair, v, jnp.nan)  # noqa: E731
                 out.update(
                     {
                         "correspondence_rmse (m)": rmse,
-                        "correspondence_ratio": ratio,
-                        "recall_at_rmse_0.2m": M.recall_at(rmse, 0.2),
+                        "correspondence_ratio": nanify(ratio),
+                        "recall_at_rmse_0.2m": nanify(M.recall_at(rmse, 0.2)),
                         "transform_error_rmse (m)": terr,
-                        "recall_at_transform_error_rmse_0.2m": M.recall_at(
-                            terr, 0.2
+                        "recall_at_transform_error_rmse_0.2m": nanify(
+                            M.recall_at(terr, 0.2)
                         ),
                     }
                 )

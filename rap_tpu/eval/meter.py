@@ -91,35 +91,83 @@ class MetricsMeter:
 
     # ---- cross-host reduction (multi-process TPU) --------------------------
     def reduce_across_hosts(self, dataset_registry: list[str]) -> None:
-        """Sum sums/counts across jax processes over a static dataset registry."""
+        """Sum sums/counts (+ sample counts, part ranges) across jax processes.
+
+        Metric keys can differ per host (stride-mode eval gives each host
+        different batches; correspondence metrics only appear for pair
+        samples, and a host may get zero batches), so the key list itself is
+        part of the gather: phase 1 agrees on the max key count, phase 2
+        gathers fixed-width key names alongside the padded value matrices and
+        each host rebuilds the union. Datasets remain a static registry.
+        """
         import jax
 
         if jax.process_count() == 1:
             return
         from jax.experimental import multihost_utils
 
+        KLEN = 64
+        D = len(dataset_registry)
         keys = sorted({k for d in self._sums.values() for k in d})
+        n_local = np.array([len(keys)], np.int32)
+        n_max = int(
+            np.asarray(multihost_utils.process_allgather(n_local)).max()
+        )
+        if n_max == 0:
+            return
+
+        names = np.zeros((n_max, KLEN), np.uint8)
+        for j, k in enumerate(keys):
+            b = k.encode()[:KLEN]
+            names[j, : len(b)] = np.frombuffer(b, np.uint8)
         # float64 sums cross the (x64-disabled) gather as (hi, lo) float32
         # pairs — hi = f32(x), lo = f32(x - hi) — and counts as exact int32;
         # summation happens in float64 on the host (reference gathers float64
         # directly, logging.py:397-424)
-        sums = np.zeros((len(dataset_registry), len(keys)), np.float64)
-        counts = np.zeros((len(dataset_registry), len(keys)), np.int32)
+        sums = np.zeros((D, n_max), np.float64)
+        counts = np.zeros((D, n_max), np.int32)
         for i, ds in enumerate(dataset_registry):
             for j, k in enumerate(keys):
                 sums[i, j] = self._sums[ds].get(k, 0.0)
                 counts[i, j] = self._counts[ds].get(k, 0)
         hi = sums.astype(np.float32)
         lo = (sums - hi.astype(np.float64)).astype(np.float32)
+        samp = np.array(
+            [self._samples.get(ds, 0) for ds in dataset_registry], np.int32
+        )
+        # part ranges: +inf/-inf sentinels for datasets this host never saw
+        pr = np.zeros((D, 2), np.int32)
+        for i, ds in enumerate(dataset_registry):
+            lo_p, hi_p = self._part_ranges.get(ds, (np.iinfo(np.int32).max, -1))
+            pr[i] = (lo_p, hi_p)
+
+        g_names = np.asarray(multihost_utils.process_allgather(names))
         g_hi = np.asarray(multihost_utils.process_allgather(hi), np.float64)
         g_lo = np.asarray(multihost_utils.process_allgather(lo), np.float64)
         g_cnt = np.asarray(multihost_utils.process_allgather(counts), np.int64)
-        red_sum = (g_hi + g_lo).sum(0)
-        red_cnt = g_cnt.sum(0)
+        g_samp = np.asarray(multihost_utils.process_allgather(samp), np.int64)
+        g_pr = np.asarray(multihost_utils.process_allgather(pr))
+
+        self._sums.clear()
+        self._counts.clear()
+        for p in range(g_names.shape[0]):
+            for j in range(n_max):
+                raw = bytes(g_names[p, j]).rstrip(b"\x00")
+                if not raw:
+                    continue
+                k = raw.decode()
+                for i, ds in enumerate(dataset_registry):
+                    if g_cnt[p, i, j]:
+                        self._sums[ds][k] += float(g_hi[p, i, j] + g_lo[p, i, j])
+                        self._counts[ds][k] += int(g_cnt[p, i, j])
         for i, ds in enumerate(dataset_registry):
-            for j, k in enumerate(keys):
-                self._sums[ds][k] = float(red_sum[i, j])
-                self._counts[ds][k] = int(red_cnt[i, j])
+            total = int(g_samp[:, i].sum())
+            if total:
+                self._samples[ds] = total
+            lo_r = int(g_pr[:, i, 0].min())
+            hi_r = int(g_pr[:, i, 1].max())
+            if hi_r >= 0:
+                self._part_ranges[ds] = (lo_r, hi_r)
 
 
 def print_eval_table(

@@ -254,8 +254,15 @@ def correspondence_rmse_pairs(
     )
     ratio = n_corr / jnp.maximum(jnp.sum(src_m, axis=1), 1)
 
+    # pairwise-sample gate: the reference computes these metrics only for
+    # 2-part samples (metrics.py:386-469); in a mixed batch with P>2 slots a
+    # sample with more valid parts must not be scored on its first two
+    valid_parts = jnp.sum(
+        batch.part_valid.reshape(S, P).astype(jnp.int32), axis=1
+    )
     pair_ok = (
-        (jnp.sum(mask[:, 0], axis=1) > 0)
+        (valid_parts == 2)
+        & (jnp.sum(mask[:, 0], axis=1) > 0)
         & (jnp.sum(mask[:, 1], axis=1) > 0)
         & (n_corr > 0)
     )

@@ -81,10 +81,34 @@ class FlowVisualization:
         inputs, pids = self._unpack(batch, batch.points)
         gts, _ = self._unpack(batch, batch.points_gt)
 
-        keep = np.where(sv)[0][: cfg.max_samples]
+        keep = np.where(sv)[0]
         if cfg.failure_metric and metrics and cfg.failure_metric in metrics:
+            # filter BEFORE the max_samples cap — a failure in a late sample
+            # slot must still render (the whole point of failure-only mode)
             vals = np.asarray(metrics[cfg.failure_metric])
             keep = [s for s in keep if vals[s] < cfg.failure_threshold]
+        keep = list(keep)[: cfg.max_samples]
+
+        # hoist batch-wide unpacks out of the per-sample loop (each _unpack
+        # walks all S*P slots; the per-sample loop only indexes the result)
+        gens_unpacked = [self._unpack(batch, gen)[0] for gen in generations]
+        trajs_unpacked = {}
+        if cfg.render_trajectory:
+            for trajs, tag in (
+                (trajectories, "trajectory"),
+                (midpoint_trajectories, "trajectory_xt"),
+            ):
+                if trajs:
+                    traj = trajs[0]
+                    trajs_unpacked[tag] = [
+                        self._unpack(batch, traj[st])[0]
+                        for st in range(traj.shape[0])
+                    ]
+        feats_unpacked = (
+            self._unpack(batch, transformer_features)[0]
+            if cfg.render_features and transformer_features is not None
+            else None
+        )
 
         for s in keep:
             name = (
@@ -108,8 +132,7 @@ class FlowVisualization:
                         image_size=cfg.image_size, title="ground truth",
                     ),
                 )
-            for g, gen in enumerate(generations):
-                gen_s, _ = self._unpack(batch, gen)
+            for g, gen_s in enumerate(gens_unpacked):
                 img = R.visualize_point_clouds(
                     gen_s[s], colors=colors, renderer=cfg.renderer,
                     image_size=cfg.image_size, title=f"generation {g}",
@@ -117,49 +140,45 @@ class FlowVisualization:
                 if img is not None:
                     R.save_image(d / f"generation_{g}.png", img)
                     written.append(d / f"generation_{g}.png")
-            if cfg.render_trajectory:
-                # endpoint (x_0_hat) and midpoint (x_t) GIFs — the reference
-                # renders both trajectory types (visualizer.py:303-353,:586-654)
-                for trajs, tag in (
-                    (trajectories, "trajectory"),
-                    (midpoint_trajectories, "trajectory_xt"),
-                ):
-                    if not trajs:
-                        continue
-                    for g, traj in enumerate(trajs[:1]):
-                        frames = []
-                        for st in range(traj.shape[0]):
-                            step_s, _ = self._unpack(batch, traj[st])
-                            frames.append(
-                                R.render_point_cloud(
-                                    step_s[s], R.part_ids_to_colors(pids[s]),
-                                    image_size=cfg.image_size,
-                                    title=f"{tag} step {st}",
-                                )
-                            )
-                        R.save_gif(d / f"{tag}_{g}.gif", frames)
-                        written.append(d / f"{tag}_{g}.gif")
-            if cfg.render_features and transformer_features is not None:
-                feats_s, _ = self._unpack(batch, transformer_features)
+            # endpoint (x_0_hat) and midpoint (x_t) GIFs — the reference
+            # renders both trajectory types (visualizer.py:303-353,:586-654)
+            for tag, steps_unpacked in trajs_unpacked.items():
+                frames = []
+                for st, step_s in enumerate(steps_unpacked):
+                    img = R.visualize_point_clouds(
+                        step_s[s], colors=R.part_ids_to_colors(pids[s]),
+                        renderer=cfg.renderer,
+                        image_size=cfg.image_size, title=f"{tag} step {st}",
+                    )
+                    if img is not None:
+                        frames.append(img)
+                if frames:
+                    R.save_gif(d / f"{tag}_0.gif", frames)
+                    written.append(d / f"{tag}_0.gif")
+            if feats_unpacked is not None:
                 cols, self._pca_basis = R.pca_colors(
-                    feats_s[s], self._pca_basis
+                    feats_unpacked[s], self._pca_basis
                 )
-                img = R.render_point_cloud(
+                img = R.visualize_point_clouds(
                     gts[s] if len(gts[s]) == len(cols) else inputs[s],
-                    cols, image_size=cfg.image_size, title="features (PCA)",
+                    colors=cols, renderer=cfg.renderer,
+                    image_size=cfg.image_size, title="features (PCA)",
                 )
-                R.save_image(d / "features_pca.png", img)
-                written.append(d / "features_pca.png")
+                if img is not None:
+                    R.save_image(d / "features_pca.png", img)
+                    written.append(d / "features_pca.png")
             if cfg.render_parts:
                 parts = np.unique(pids[s])
                 for p in parts:
                     sel = pids[s] == p
-                    img = R.render_point_cloud(
+                    img = R.visualize_point_clouds(
                         inputs[s][sel],
-                        R.part_ids_to_colors(pids[s][sel]),
+                        colors=R.part_ids_to_colors(pids[s][sel]),
+                        renderer=cfg.renderer,
                         image_size=cfg.image_size, title=f"part {p}",
                     )
-                    R.save_image(d / f"part_{p}.png", img)
+                    if img is not None:
+                        R.save_image(d / f"part_{p}.png", img)
         return written
 
 

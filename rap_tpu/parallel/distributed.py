@@ -46,21 +46,42 @@ def initialize(
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
-    if coordinator_address or num_processes:
+    # cluster hints under which jax.distributed's own auto-detection works
+    # without explicit coordinates (TPU pod metadata, SLURM, OpenMPI)
+    auto_detectable = any(
+        k in os.environ
+        for k in (
+            "TPU_WORKER_HOSTNAMES",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+            "SLURM_JOB_ID",
+            "OMPI_COMM_WORLD_SIZE",
+        )
+    )
+    if coordinator_address or num_processes or auto_detectable:
         try:
             already = jax.distributed.is_initialized()
         except AttributeError:  # older JAX without the public probe
             already = False
         if not already:
-            try:
-                jax.distributed.initialize(
-                    coordinator_address=coordinator_address,
-                    num_processes=num_processes,
-                    process_id=process_id,
-                )
-            except RuntimeError as e:
-                if "already" not in str(e).lower():
-                    raise  # double-init is fine; anything else is real
+            if coordinator_address or num_processes:
+                try:
+                    jax.distributed.initialize(
+                        coordinator_address=coordinator_address,
+                        num_processes=num_processes,
+                        process_id=process_id,
+                    )
+                except RuntimeError as e:
+                    if "already" not in str(e).lower():
+                        raise  # double-init is fine; anything else is real
+            else:
+                # cluster auto-detect from the env hint; a hint can be
+                # spurious (e.g. TPU_WORKER_HOSTNAMES=localhost on a
+                # single-host tunnel), so failed detection degrades to
+                # single-process instead of raising
+                try:
+                    jax.distributed.initialize()
+                except (RuntimeError, ValueError):
+                    pass
     return jax.process_index(), jax.process_count()
 
 

@@ -37,13 +37,19 @@ import numpy as np
 # --------------------------------------------------------------------------
 
 def save_checkpoint(path: str | Path, state, metadata: dict | None = None) -> None:
-    """Save a TrainState (or any pytree) with orbax."""
+    """Save a TrainState (or any pytree) with orbax.
+
+    Multi-host: call from EVERY process (orbax save is a collective — each
+    process writes its addressable shards); the metadata sidecar is written
+    by process 0 only.
+    """
+    import jax
     import orbax.checkpoint as ocp
 
     path = Path(path).absolute()
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, state, force=True)
-    if metadata:
+    if metadata and jax.process_index() == 0:
         import json
 
         (path / "rap_metadata.json").write_text(json.dumps(metadata, indent=2))

@@ -1,17 +1,32 @@
 """Optimizers: AdamW and Muon (Newton-Schulz orthogonalized momentum).
 
 Parity with /root/reference/rectified_point_flow/utils/optimizers.py and
-config/model/optimizer/*.yaml: AdamW lr=2e-4 wd=1e-6, or Muon for matrix
-(ndim>=2) params at lr_muon = 10*lr with wd*0.1 plus an auxiliary AdamW group
-for the rest; MultiStepLR x0.5 at [400,550,700,850,1000] epochs
-(config/model/lr_scheduler/*.yaml).
+config/model/optimizer/*.yaml:
+  - pure AdamW: lr=2e-4, wd=1e-6, betas=(0.95, 0.999), eps=1e-8
+    (adamw.yaml).
+  - Muon: matrix params at lr_muon = 10*lr with wd*0.1, auxiliary AdamW
+    group (betas (0.9, 0.95), wd=0.01) for vectors (muon.yaml,
+    optimizers.py:25-48).
+  - MultiStepLR x0.5 at [400,550,700,850,1000] epochs
+    (config/model/lr_scheduler/*.yaml).
+
+The matrix/vector split matches the reference's *per-layer* semantics: the
+reference splits on per-parameter ndim, where a layer's bias is (D,) and a
+norm gain is (D,). Our per-layer params are stacked (L, ...) leaves, so
+under ``layers/`` the threshold is ndim>=3 (a stacked (L, D) bias is still
+a vector per layer). Deliberate divergence: the (2, D) anchor embedding
+table goes to AdamW (the reference's blind ndim split Muon-izes it; the
+Muon author's guidance is embeddings/heads belong in the AdamW group).
 
 Muon follows the public algorithm (Jordan et al., github.com/KellerJordan/Muon):
 momentum -> 5-step Newton-Schulz orthogonalization with the quintic
-coefficients (3.4445, -4.7750, 2.0315), scaled by sqrt(max(1, rows/cols)).
-Implemented in optax so it composes with grad clipping and schedules;
-stacked per-layer leaves (L, in, out) orthogonalize each matrix via the
-batched matmuls (MXU-friendly — no per-matrix Python loop).
+coefficients (3.4445, -4.7750, 2.0315), scaled by sqrt(max(1, out/in)).
+The public impl stores torch (out, in) weights and scales by
+sqrt(max(1, rows/cols)); our kernels are (in, out), so the same factor is
+sqrt(max(1, cols/rows)). Implemented in optax so it composes with grad
+clipping and schedules; stacked per-layer leaves (L, in, out) orthogonalize
+each matrix via the batched matmuls (MXU-friendly — no per-matrix Python
+loop).
 """
 
 from __future__ import annotations
@@ -27,8 +42,14 @@ import optax
 class OptimizerConfig:
     name: str = "muon"             # "adamw" | "muon"
     lr: float = 2e-4               # AdamW lr (muon group uses 10x)
+    # pure-AdamW recipe (ref config/model/optimizer/adamw.yaml)
     weight_decay: float = 1e-6
-    betas: tuple[float, float] = (0.9, 0.95)
+    betas: tuple[float, float] = (0.95, 0.999)
+    eps: float = 1e-8
+    # Muon recipe (ref config/model/optimizer/muon.yaml): aux-AdamW group
+    # wd=0.01 betas=(0.9, 0.95); muon group wd = 0.01 * muon_wd_mult
+    muon_weight_decay: float = 0.01
+    muon_betas: tuple[float, float] = (0.9, 0.95)
     muon_lr_mult: float = 10.0
     muon_wd_mult: float = 0.1
     muon_momentum: float = 0.95
@@ -94,7 +115,8 @@ def scale_by_muon(momentum: float = 0.95, nesterov: bool = True):
                 return u
             rows, cols = u.shape[-2], u.shape[-1]
             o = newton_schulz_orthogonalize(u)
-            return o * jnp.sqrt(jnp.maximum(1.0, rows / cols))
+            # public Muon: sqrt(max(1, out/in)); (in, out) kernels => cols/rows
+            return o * jnp.sqrt(jnp.maximum(1.0, cols / rows))
 
         return jax.tree.map(orth, eff), {"mu": mu}
 
@@ -102,18 +124,21 @@ def scale_by_muon(momentum: float = 0.95, nesterov: bool = True):
 
 
 def _is_matrix_mask(params):
-    """Muon applies to ndim>=2 leaves; embeddings/vectors go to AdamW.
+    """Muon applies to per-layer-matrix leaves; vectors go to AdamW.
 
-    Mirrors the reference's split (optimizers.py:25-48). Stacked per-layer
-    leaves are (L, in, out) => matrix. The (2, D) anchor embedding is an
-    embedding table: route to AdamW via its path name.
+    Mirrors the reference's per-parameter ndim split (optimizers.py:9-17) on
+    our stacked layout: leaves under ``layers/`` carry a leading L stack
+    axis, so a per-layer matrix is ndim>=3 there — a stacked (L, D) bias or
+    norm gain is a vector per layer and belongs in the AdamW group. The
+    anchor embedding table routes to AdamW (see module docstring).
     """
 
     def mask(path, leaf):
         name = "/".join(str(getattr(p, "key", p)) for p in path)
         if "anchor_emb" in name:
             return False
-        return leaf.ndim >= 2
+        min_ndim = 3 if name.startswith("layers") else 2
+        return leaf.ndim >= min_ndim
 
     return lambda params: jax.tree_util.tree_map_with_path(mask, params)
 
@@ -128,25 +153,29 @@ def multistep_schedule(base_lr: float, cfg: OptimizerConfig, steps_per_epoch: in
 def build_optimizer(
     cfg: OptimizerConfig, steps_per_epoch: int = 1
 ) -> optax.GradientTransformation:
-    adamw = lambda lr, wd: optax.adamw(  # noqa: E731
+    adamw = lambda lr, wd, betas: optax.adamw(  # noqa: E731
         multistep_schedule(lr, cfg, steps_per_epoch),
-        b1=cfg.betas[0],
-        b2=cfg.betas[1],
+        b1=betas[0],
+        b2=betas[1],
+        eps=cfg.eps,
         weight_decay=wd,
     )
     if cfg.name == "adamw":
-        tx = adamw(cfg.lr, cfg.weight_decay)
+        tx = adamw(cfg.lr, cfg.weight_decay, cfg.betas)
     elif cfg.name == "muon":
         muon_tx = optax.chain(
             scale_by_muon(cfg.muon_momentum),
-            optax.add_decayed_weights(cfg.weight_decay * cfg.muon_wd_mult),
+            optax.add_decayed_weights(cfg.muon_weight_decay * cfg.muon_wd_mult),
             optax.scale_by_learning_rate(
                 multistep_schedule(cfg.lr * cfg.muon_lr_mult, cfg, steps_per_epoch)
             ),
         )
         mask_fn = _is_matrix_mask(None)
         tx = optax.multi_transform(
-            {"muon": muon_tx, "adamw": adamw(cfg.lr, cfg.weight_decay)},
+            {
+                "muon": muon_tx,
+                "adamw": adamw(cfg.lr, cfg.muon_weight_decay, cfg.muon_betas),
+            },
             lambda params: jax.tree.map(
                 lambda is_mat: "muon" if is_mat else "adamw", mask_fn(params)
             ),

@@ -14,6 +14,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import optax
 from flax import struct
 from jax.sharding import Mesh
 
@@ -56,9 +57,7 @@ def make_train_step(cfg: RPFConfig, tx, mesh: Mesh | None = None, remat: bool = 
             state.params
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = jax.tree.map(
-            lambda p, u: p + u.astype(p.dtype), state.params, updates
-        )
+        params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
         metrics["grad_norm"] = jnp.sqrt(
             sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree.leaves(grads))

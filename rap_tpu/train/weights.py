@@ -95,7 +95,11 @@ def _try_zip(filename: str, cache_dir: Path, url: str) -> Path | None:
         return hit
     except Exception as e:
         logger.info("zip download failed (%s)", str(e)[:120])
-        if zip_path.exists() and zip_path.stat().st_size == 0:
+        # invalidate poisoned cache entries (truncated download, non-zip
+        # body) so the next resolve re-downloads instead of failing forever
+        if zip_path.exists() and (
+            zip_path.stat().st_size == 0 or isinstance(e, zipfile.BadZipFile)
+        ):
             zip_path.unlink()
         return None
 

@@ -72,4 +72,37 @@ for _ in range(3):
     state, metrics = step(state, batch)
     losses.append(float(metrics["loss"]))
 assert all(np.isfinite(l) for l in losses), losses
-print("RESULT " + json.dumps({"process": proc_id, "losses": losses}))
+
+# cross-host metric reduce with DIVERGENT key sets (stride-mode eval gives
+# hosts different batches, so keys differ; a host can even have none)
+meter_out = {}
+if n_proc > 1:
+    from rap_tpu.eval.meter import MetricsMeter  # noqa: E402
+
+    meter = MetricsMeter()
+    registry = ["dsA", "dsB"]
+    if proc_id == 0:
+        meter.add_metrics(
+            "dsA", {"shared": np.array([1.0, 3.0]), "only0": np.array([5.0, 5.0])},
+            valid=np.array([True, True]), num_parts=np.array([2, 3]),
+        )
+    else:
+        meter.add_metrics(
+            "dsB", {"shared": np.array([7.0]), "only1": np.array([9.0])},
+            valid=np.array([True]), num_parts=np.array([4]),
+        )
+    meter.reduce_across_hosts(registry)
+    avg = meter.compute_average()
+    meter_out = {
+        "dsA_shared": avg.get("dsA", {}).get("shared"),
+        "dsB_shared": avg.get("dsB", {}).get("shared"),
+        "dsA_only0": avg.get("dsA", {}).get("only0"),
+        "dsB_only1": avg.get("dsB", {}).get("only1"),
+        "overall_shared": avg["overall"].get("shared"),
+        "samples": meter.get_sample_counts(),
+        "part_ranges": {k: list(v) for k, v in meter.get_part_count_ranges().items()},
+    }
+
+print("RESULT " + json.dumps(
+    {"process": proc_id, "losses": losses, "meter": meter_out}
+))

@@ -64,3 +64,52 @@ def test_resume_is_invisible(tmp_path):
         restored, m = step2(restored, batch2)
         losses_resumed.append(float(m["loss"]))
     np.testing.assert_allclose(losses_resumed, losses_ref[3:], rtol=1e-6)
+
+
+class TestMuonGrouping:
+    def test_mask_routes_per_layer_vectors_to_adamw(self):
+        """Stacked (L, D) biases/norm gains are per-layer vectors -> AdamW;
+        stacked (L, in, out) kernels and (L, H, dh) qk gammas -> Muon
+        (reference optimizers.py:9-17 splits on per-parameter ndim)."""
+        import jax
+
+        from rap_tpu.models import DiTConfig
+        from rap_tpu.models.dit import init_dit_params
+        from rap_tpu.train.optim import _is_matrix_mask
+
+        params = init_dit_params(
+            jax.random.key(0),
+            DiTConfig(num_layers=2, embed_dim=64, num_heads=4),
+        )
+        mask = _is_matrix_mask(None)(params)
+        L = params["layers"]
+        M = mask["layers"]
+        assert M["self_qkv"]["kernel"] and L["self_qkv"]["kernel"].ndim == 3
+        assert M["ff_in"]["kernel"]
+        assert not M["self_out"]["bias"]          # (L, D) stacked bias
+        assert not M["ff_norm"]["scale"]          # (L, D) stacked gain
+        assert not M["self_prenorm"]["time_mlp1"]["bias"]
+        assert M["self_q_gamma"]                  # (L, H, dh): per-layer matrix
+        assert not mask["anchor_emb"]             # embedding table -> AdamW
+        assert mask["final_mlp"]["fc1"]["kernel"]
+        assert not mask["final_mlp"]["fc1"]["bias"]
+
+    def test_muon_rms_factor_uses_out_over_in(self):
+        """Wide (in, out) kernels get sqrt(out/in) > 1 (public Muon scales by
+        sqrt(max(1, out/in)); torch stores (out, in), we store (in, out))."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from rap_tpu.train.optim import scale_by_muon
+
+        tx = scale_by_muon(momentum=0.0, nesterov=False)
+        g_wide = jnp.eye(4, 12)        # (in=4, out=12): factor sqrt(3)
+        g_tall = jnp.eye(12, 4)        # (in=12, out=4): factor 1
+        state = tx.init({"w": g_wide, "t": g_tall})
+        upd, _ = tx.update({"w": g_wide, "t": g_tall}, state)
+        # Newton-Schulz distorts singular values identically for the two
+        # transpose-symmetric inputs, so the wide/tall ratio isolates the
+        # rms factor: sqrt(3) for the wide kernel vs 1 for the tall one.
+        sw = np.linalg.svd(np.asarray(upd["w"]), compute_uv=False).max()
+        st = np.linalg.svd(np.asarray(upd["t"]), compute_uv=False).max()
+        np.testing.assert_allclose(sw / st, np.sqrt(3.0), rtol=0.02)

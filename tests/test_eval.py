@@ -285,6 +285,47 @@ class TestCorrespondence:
         np.testing.assert_allclose(float(ratio[0]), 20 / 26, atol=1e-6)
 
 
+class TestMixedBatchPairGating:
+    def test_three_part_sample_excluded(self):
+        """In a P=4 batch, a 2-part sample gets pair metrics while a 3-part
+        sample in the same batch gets inf/0 (ref computes correspondence
+        metrics only for pairwise samples, metrics.py:386-469)."""
+        from rap_tpu.core.batch import PartBatch
+
+        rng = np.random.default_rng(5)
+        N, P, S = 24, 4, 2
+        pts = rng.standard_normal((S * P, N, 3)).astype(np.float32)
+        mask = np.zeros((S * P, N), bool)
+        part_valid = np.zeros(S * P, bool)
+        # sample 0: exactly 2 valid parts with identical clouds (perfect pair)
+        pts[1] = pts[0]
+        mask[0] = mask[1] = True
+        part_valid[0] = part_valid[1] = True
+        # sample 1: 3 valid parts
+        mask[4] = mask[5] = mask[6] = True
+        part_valid[4] = part_valid[5] = part_valid[6] = True
+        b = PartBatch(
+            points=jnp.asarray(pts),
+            points_gt=jnp.asarray(pts),
+            local_feats=jnp.zeros((S * P, N, 4)),
+            point_mask=jnp.asarray(mask),
+            part_valid=jnp.asarray(part_valid),
+            sample_of_part=jnp.asarray([0, 0, 0, 0, 1, 1, 1, 1], jnp.int32),
+            anchor_part=jnp.asarray([True, False, False, False,
+                                     True, False, False, False]),
+            rotations_gt=jnp.broadcast_to(jnp.eye(3), (S * P, 3, 3)),
+            translations_gt=jnp.zeros((S * P, 3)),
+            scale=jnp.ones((S,)),
+            sample_valid=jnp.asarray([True, True]),
+        )
+        rmse, ratio, terr = M.correspondence_rmse_pairs(
+            b, b.rotations_gt, b.translations_gt
+        )
+        np.testing.assert_allclose(float(rmse[0]), 0.0, atol=1e-5)
+        assert not np.isfinite(float(rmse[1]))
+        assert float(ratio[1]) == 0.0
+
+
 class TestOverlap:
     def test_overlapping_parts(self):
         b = _batch(S=1)

@@ -36,11 +36,15 @@ def _run_worker(proc_id, n_proc, port, n_local):
     )
 
 
-def _losses(stdout: str, stderr: str):
+def _result(stdout: str, stderr: str):
     for line in stdout.splitlines():
         if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])["losses"]
+            return json.loads(line[len("RESULT "):])
     raise AssertionError(f"no RESULT line.\nstdout:\n{stdout}\nstderr:\n{stderr}")
+
+
+def _losses(stdout: str, stderr: str):
+    return _result(stdout, stderr)["losses"]
 
 
 @pytest.mark.slow
@@ -51,10 +55,23 @@ def test_two_process_matches_single_process():
     outs = [p.communicate(timeout=900) for p in procs]
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{so}\n{se}"
-    l0 = _losses(*outs[0])
-    l1 = _losses(*outs[1])
+    r0 = _result(*outs[0])
+    r1 = _result(*outs[1])
+    l0, l1 = r0["losses"], r1["losses"]
     # both controllers observe the same global loss
     np.testing.assert_allclose(l0, l1, rtol=0, atol=0)
+
+    # cross-host metric reduce handled divergent key sets: both processes
+    # see the union with correct per-dataset means and sample bookkeeping
+    for r in (r0, r1):
+        m = r["meter"]
+        assert m["dsA_shared"] == 2.0          # (1+3)/2, host 0 only
+        assert m["dsB_shared"] == 7.0          # host 1 only
+        assert m["dsA_only0"] == 5.0
+        assert m["dsB_only1"] == 9.0
+        assert m["overall_shared"] == (1 + 3 + 7) / 3
+        assert m["samples"] == {"dsA": 2, "dsB": 1}
+        assert m["part_ranges"] == {"dsA": [2, 3], "dsB": [4, 4]}
 
     # single-process x 8-device reference
     ref = _run_worker(0, 1, _free_port(), 8)
