@@ -57,8 +57,10 @@ def kabsch_masked(
     )  # (..., 3)
     R = jnp.matmul(V * D[..., None, :], Ut, precision=jax.lax.Precision.HIGHEST)
 
-    # Empty parts -> identity rotation.
-    empty = jnp.sum(mask.astype(jnp.int32), axis=-1) == 0
+    # Degenerate parts -> identity rotation. Keyed on the EFFECTIVE weight
+    # (mask * weights): an all-~0-weight part would otherwise divide by the
+    # 1e-12 clamp and feed garbage means into the SVD.
+    empty = jnp.sum(w, axis=-1) < 1e-9
     eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
     R = jnp.where(empty[..., None, None], eye, R)
 

@@ -65,20 +65,25 @@ def flow_sampler(
     def step(x_t, step_idx):
         t = 1.0 - step_idx.astype(jnp.float32) * dt
         v1 = velocity_fn(x_t, t)
-        x_0_hat = x_t - v1 * t
         if method == "euler":
-            x_next = x_t - dt * v1
+            v_eff = v1
         elif method == "rk2":  # midpoint (ref sampler.py:94-115)
             t_mid = jnp.maximum(0.0, t - 0.5 * dt)
             v2 = velocity_fn(x_t - 0.5 * dt * v1, t_mid)
-            x_next = x_t - dt * 0.5 * (v1 + v2)
+            v_eff = 0.5 * (v1 + v2)
         else:  # rk4 (ref sampler.py:117-149)
             t_half = jnp.maximum(0.0, t - 0.5 * dt)
             t_next = jnp.maximum(0.0, t - dt)
             v2 = velocity_fn(x_t - 0.5 * dt * v1, t_half)
             v3 = velocity_fn(x_t - 0.5 * dt * v2, t_half)
             v4 = velocity_fn(x_t - dt * v3, t_next)
-            x_next = x_t - dt * (v1 + 2.0 * v2 + 2.0 * v3 + v4) / 6.0
+            v_eff = (v1 + 2.0 * v2 + 2.0 * v3 + v4) / 6.0
+        # x_0_hat from the integrator's effective slope (== v1 for euler, the
+        # reference's x_0_hat = x_t - v*t); rk's higher-order slope must feed
+        # the end-point estimate too, or rigidity forcing — which rebuilds
+        # x_next FROM x_0_hat — would silently discard the extra evals
+        x_0_hat = x_t - v_eff * t
+        x_next = x_t - dt * v_eff
         if rigidity_forcing:
             # note: the recorded end-point trajectory keeps the *raw* x_0_hat,
             # matching reference sampler.py:58-66.

@@ -26,11 +26,20 @@ class DiTConfig:
     local_feat_concat_on: bool = True
     qk_norm: bool = True
     softcap: float = 0.0
+    # the reference plumbs FF dropout (layer.py:32) but every shipped config
+    # leaves it 0.0; not implemented here — nonzero raises (loud, not silent)
     dropout_rate: float = 0.0
     time_embed_channels: int = 256  # sinusoidal timestep channels
     compute_dtype: jnp.dtype = jnp.bfloat16  # attention/matmul dtype (ref: fp16)
     attn_impl: str = "auto"        # dense | chunked | pallas | auto
     ff_impl: str = "auto"          # xla | pallas | auto (fused GEGLU kernel)
+
+    def __post_init__(self):
+        if self.dropout_rate:
+            raise NotImplementedError(
+                "dropout is not implemented (every reference config trains "
+                "with dropout_rate=0.0); set it to 0"
+            )
 
     @property
     def head_dim(self) -> int:

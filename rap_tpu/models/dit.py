@@ -295,11 +295,17 @@ def dit_forward(
     return_features: bool = False,
     remat: bool = False,
     ring_mesh=None,
+    latent: jax.Array | None = None,
 ):
     """Predict the velocity field. Returns (G, N, out_dim) fp32 [, features].
 
     Requires the regular layout: G == S * parts_per_sample with
     ``sample_of_part == repeat(arange(S), P)`` (the packer guarantees this).
+
+    ``latent``: optional (G, N, in_dim) encoder features when
+    ``cfg.in_dim > 0``; None falls back to zeros — the reference's released
+    configs run encoder-off, and its ``_encode`` returns zeros in that mode
+    (modeling.py:168-184).
 
     ``ring_mesh``: optional Mesh for sequence-sharded global attention
     (S==1 ultra-long samples; see _attention_block). Part attention and all
@@ -324,6 +330,13 @@ def dit_forward(
         feats.append(nerf_positional_encoding(scales_pt, cfg.multires))
     if cfg.local_feat_concat_on:
         feats.append(batch.local_feats.astype(jnp.float32))
+    if cfg.in_dim > 0:
+        lat = (
+            latent
+            if latent is not None
+            else jnp.zeros((G, N, cfg.in_dim), jnp.float32)
+        )
+        feats.append(lat.astype(jnp.float32))
     emb_in = jnp.concatenate(feats, axis=-1)
     h = _linear(params["emb_proj"], emb_in)                         # (G,N,D)
     anchor_vec = jnp.take(

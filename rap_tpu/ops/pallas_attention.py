@@ -206,7 +206,11 @@ def _flash_fwd_full_kernel(
 
     @pl.when(j == num_k_blocks - 1)
     def _fin():
-        l = acc_ref[:, d : d + 1]
+        # underflow guard: with a loose global bound (the qk_norm=False
+        # fallback takes one max over every row) a far-below-bound row can
+        # flush all its p to 0; emit 0 output and a finite lse instead of
+        # 0/0 NaN and -inf (which would poison the backward's exp2)
+        l = jnp.maximum(acc_ref[:, d : d + 1], 1e-30)
         out_ref[0] = (acc_ref[:, :d] / l).astype(out_ref.dtype)
         # residual for the (shared) backward kernels: lse2 = bound + log2(l)
         lse_ref[0, 0] = (bound_ref[0] + jnp.log2(l))[:, 0]

@@ -123,6 +123,9 @@ def sample(
     if x_1 is None:
         x_1 = jax.random.normal(rng, batch.points.shape, jnp.float32)
     steps = num_steps or cfg.inference_sampling_steps
+    # config knob gates trajectory capture; the call-site arg can only
+    # further disable it (memory: two (steps, G, N, 3) stacks)
+    return_trajectory = return_trajectory and cfg.return_end_point_trajectory
     # ring_mesh: sequence-sharded global attention for S==1 ultra-long
     # samples (multi-chip map merging; models/dit.py _attention_block)
     vfn = velocity_fn(params, cfg, batch, ring_mesh=ring_mesh)
@@ -142,6 +145,8 @@ def sample(
         out["trajectory"] = res.trajectory
     if return_transformer_features:
         # one extra forward at the final state, t ~ 0 (ref modeling.py:676-698)
+        # — with the same sharding as the ODE loop (an unsharded forward here
+        # would OOM on exactly the ultra-long scenes ring_mesh exists for)
         P = parts_per_sample(batch)
         ts = jnp.full((batch.S,), 1.0 / steps, jnp.float32)
         _, feats = dit_forward(
@@ -152,6 +157,7 @@ def sample(
             batch,
             parts_per_sample=P,
             return_features=True,
+            ring_mesh=ring_mesh,
         )
         out["transformer_features"] = feats
     return out

@@ -145,6 +145,19 @@ class TestProcrustes:
         np.testing.assert_allclose(np.asarray(R[1]), np.eye(3), atol=1e-6)
         np.testing.assert_allclose(np.asarray(t[1]), 0.0, atol=1e-6)
 
+    def test_zero_weights_fall_back_to_identity(self):
+        """A valid-mask part whose weights are ~0 must take the (I, 0)
+        fallback, not divide by the epsilon clamp."""
+        rng = np.random.default_rng(9)
+        src = jnp.asarray(rng.standard_normal((1, 32, 3)), dtype=jnp.float32)
+        tgt = src + 1.0
+        R, t = procrustes.kabsch_masked(
+            src, tgt, jnp.ones((1, 32), bool),
+            weights=jnp.zeros((1, 32)),
+        )
+        np.testing.assert_allclose(np.asarray(R[0]), np.eye(3), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(t[0]), 0.0, atol=1e-6)
+
     def test_reflection_fix(self):
         """A near-planar part with a reflection-like target must yield det(R)=+1."""
         rng = np.random.default_rng(2)
@@ -262,6 +275,22 @@ class TestSampler:
                 np.abs(np.asarray(res.x_final) - exact).max()
             )
         assert errs["rk4"] < errs["euler"] * 1e-3
+
+    def test_rk4_forcing_uses_higher_order_slope(self):
+        """With rigidity forcing on, x_next is rebuilt from x_0_hat — which
+        must come from the rk-combined slope, not just v1, or the extra
+        evals are dead code and rk4 degenerates to euler."""
+        rng = np.random.default_rng(6)
+        x1 = jnp.asarray(rng.standard_normal((1, 16, 3)), dtype=jnp.float32)
+        finals = {}
+        for method in ("euler", "rk4"):
+            res = sampler.flow_sampler(
+                lambda x, t: -x, x_1=x1, condition=x1,
+                point_mask=jnp.ones((1, 16), bool),
+                num_steps=4, rigidity_forcing=True, method=method,
+            )
+            finals[method] = np.asarray(res.x_final)
+        assert np.abs(finals["euler"] - finals["rk4"]).max() > 1e-4
 
     def test_unknown_method_raises(self):
         with np.testing.assert_raises(ValueError):

@@ -113,6 +113,40 @@ class TestEmbedding:
 
 
 class TestDiT:
+    def test_latent_input_path(self):
+        """in_dim > 0 builds and runs: None latent falls back to zeros (the
+        reference encoder-off mode returns zeros, modeling.py:168-184), and a
+        real latent changes the output."""
+        import jax
+
+        from rap_tpu.core.batch import make_regular_synthetic_batch
+        from rap_tpu.models import DiTConfig
+        from rap_tpu.models.dit import dit_forward, init_dit_params
+
+        cfg = DiTConfig(num_layers=1, embed_dim=64, num_heads=2, in_dim=4,
+                        local_feat_dim=8)
+        b = make_regular_synthetic_batch(
+            jax.random.key(0), points_per_part=[[16, 16]], N=16, P=2, S=1,
+            feat_dim=8,
+        )
+        params = init_dit_params(jax.random.key(1), cfg)
+        x = jax.random.normal(jax.random.key(2), b.points.shape)
+        ts = jnp.full((1,), 0.5)
+        out0 = dit_forward(params, cfg, x, ts, b, parts_per_sample=2)
+        assert out0.shape == (2, 16, 3)
+        lat = jnp.ones((2, 16, 4))
+        out1 = dit_forward(params, cfg, x, ts, b, parts_per_sample=2,
+                           latent=lat)
+        assert float(jnp.abs(out0 - out1).max()) > 1e-6
+
+    def test_dropout_rate_raises(self):
+        import pytest
+
+        from rap_tpu.models import DiTConfig
+
+        with pytest.raises(NotImplementedError):
+            DiTConfig(dropout_rate=0.1)
+
     def test_forward_shapes_and_dtype(self):
         b = _tiny_batch()
         validate(b)
