@@ -42,10 +42,9 @@ from ..utils import ply as plyio
 logger = logging.getLogger("rap_tpu.demo")
 
 # optional camera-frame rotation for 7-scenes/bundlefusion/rgbd-scenes-style
-# inputs: permutation z->x, -x->y, -y->z (ref demo.py:60-63 COORDINATE_TRANSFORM)
-CAMERA_FRAME_ROTATION = np.array(
-    [[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]], np.float32
-)
+# inputs (ref demo.py:60-63 COORDINATE_TRANSFORM) — one definition, shared
+# with the dataset processors' global-frame fix
+from ..dataset_process.geometry import CAMERA_FRAME_ROTATION  # noqa: E402
 
 
 def adaptive_parameters(

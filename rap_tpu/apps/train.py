@@ -146,7 +146,16 @@ def run_train(cfg: Config, max_steps: int | None = None) -> TrainState:
         jsonl_path=cfg.trainer.log_file or None,
     )
 
+    # on resume, recover the best monitor value so the first post-resume
+    # validation cannot clobber a genuinely better 'best' checkpoint
     best_monitor = float("inf")
+    if cfg.checkpoint:
+        from ..train.checkpoint import load_metadata as _lm
+
+        best_meta = _lm(ckpt_dir / "best")
+        if "monitor" in best_meta:
+            best_monitor = float(best_meta["monitor"])
+            logger.info("resumed best %s=%.4f", cfg.trainer.monitor, best_monitor)
     total_steps = 0
     for epoch in range(start_epoch, cfg.trainer.max_epochs):
         t0 = time.time()

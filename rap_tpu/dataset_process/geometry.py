@@ -119,10 +119,17 @@ def deskew(
     return out
 
 
+# camera-frame permutation z->x, -x->y, -y->z, shared with apps/demo.py
+# --camera-frame (ref demo.py:60-63 COORDINATE_TRANSFORM)
+CAMERA_FRAME_ROTATION = np.array(
+    [[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]], np.float32
+)
+
+
 def global_frame_fix(sequence_name: str) -> np.ndarray | None:
     """Per-dataset global rotation fix (ref dataset_utils.py:750-770)."""
     if sequence_name.startswith(
         ("7-scenes", "bundlefusion", "rgbd-scenes", "sun3d")
     ):
-        return np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], np.float32)
+        return CAMERA_FRAME_ROTATION
     return None

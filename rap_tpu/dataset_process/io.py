@@ -67,7 +67,9 @@ def save_processed_sample(
     d.mkdir(parents=True, exist_ok=True)
     total = 0
     for i, kp in enumerate(keypoints):
-        name = f"part_{i}"
+        # zero-padded like save_training_sample: plain lexicographic listings
+        # (h5 keys, sorted globs) keep part order at >= 10 parts
+        name = f"part_{i:02d}"
         plyio.write_ply(
             d / f"{name}.ply",
             np.asarray(kp, np.float32),

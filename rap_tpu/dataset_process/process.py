@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import zlib
 from pathlib import Path
 from typing import Iterable
 
@@ -57,8 +58,10 @@ def process_sequence(
     global_transform: np.ndarray | None = None,
 ) -> list[str]:
     """Generate multi-view samples from one sequence; returns sample names."""
+    # zlib.crc32, not hash(): python's str hash is salted per process, which
+    # would make "deterministic" generation differ between runs
     rng = np.random.default_rng(
-        np.random.SeedSequence([cfg.seed, hash(sequence_name) & 0x7FFFFFFF])
+        np.random.SeedSequence([cfg.seed, zlib.crc32(sequence_name.encode())])
     )
     points_list, poses, normals_list, frame_ids = [], [], [], []
     prev_pose = None
@@ -110,7 +113,14 @@ def process_sequence(
                 points_list, poses, si, ei - si + 1, normals_list
             )
             if cfg.voxel_size > 0 and len(pts):
-                pts = voxel_downsample(pts.astype(np.float32), cfg.voxel_size)
+                if nrm is not None and len(nrm) == len(pts):
+                    pts, nrm = voxel_downsample(
+                        pts.astype(np.float32), cfg.voxel_size, attrs=nrm
+                    )
+                else:
+                    pts = voxel_downsample(
+                        pts.astype(np.float32), cfg.voxel_size
+                    )
             sub_pts.append(pts)
             sub_nrm.append(nrm)
         sel = submaps.select_connected_submaps(
@@ -119,10 +129,11 @@ def process_sequence(
         if sel is None or not submaps.validate_no_frame_overlap(bounds, sel, frame_ids):
             continue
         name = f"{sequence_name}/sample_{s:04d}"
+        sel_nrm = [sub_nrm[i] for i in sel]
         save_training_sample(
             output_root, name,
             parts_world=[sub_pts[i] for i in sel],
-            normals=None,
+            normals=sel_nrm if all(n is not None for n in sel_nrm) else None,
             poses=[poses[frame_ids.index(bounds[i][0])] for i in sel],
             global_transform=gt,
         )

@@ -134,10 +134,16 @@ long ply_read_xyz(const char* path, float* out_xyz) {
     fclose(f);
     return n;
   }
-  // ascii
+  // ascii — bail out (caller falls back to the python reader) rather than
+  // mis-parse rows when a vertex has more properties than the buffer
+  if (info.n_props > 64 || info.col_x >= 64 || info.col_y >= 64 ||
+      info.col_z >= 64) {
+    fclose(f);
+    return -1;
+  }
   for (long i = 0; i < n; i++) {
     double vals[64];
-    for (int c = 0; c < info.n_props && c < 64; c++) {
+    for (int c = 0; c < info.n_props; c++) {
       if (fscanf(f, "%lf", &vals[c]) != 1) { fclose(f); return -1; }
     }
     out_xyz[3 * i + 0] = (float)vals[info.col_x];
@@ -169,6 +175,19 @@ long voxel_downsample_xyz(const float* pts, long n, float voxel, float* out) {
     minix = std::min(minix, idx[3 * i + 0]);
     miniy = std::min(miniy, idx[3 * i + 1]);
     miniz = std::min(miniz, idx[3 * i + 2]);
+  }
+  // key packs 3 x 21-bit shifted indices; an axis spanning >= 2^21 voxels
+  // cannot be packed collision-free — signal the caller to use the
+  // collision-free numpy path instead of silently merging distant voxels
+  int64_t maxix = INT64_MIN, maxiy = INT64_MIN, maxiz = INT64_MIN;
+  for (long i = 0; i < n; i++) {
+    maxix = std::max(maxix, idx[3 * i + 0]);
+    maxiy = std::max(maxiy, idx[3 * i + 1]);
+    maxiz = std::max(maxiz, idx[3 * i + 2]);
+  }
+  const int64_t LIM = (int64_t)1 << 21;
+  if (maxix - minix >= LIM || maxiy - miniy >= LIM || maxiz - miniz >= LIM) {
+    return -1;
   }
   long next_order = 0;
   for (long i = 0; i < n; i++) {

@@ -231,6 +231,16 @@ def ball_query(
 # Statistical outlier removal (Open3D semantics)
 # --------------------------------------------------------------------------
 
+def shape_bucket(n: int, minimum: int = 256) -> int:
+    """Next power-of-two >= n. Host-facing device ops pad their inputs to
+    bucketed shapes so a many-sample offline run compiles O(log N) programs
+    instead of one per distinct cloud size."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
 def statistical_outlier_removal(
     points: np.ndarray, nb_neighbors: int = 20, std_ratio: float = 2.0
 ) -> np.ndarray:
@@ -240,10 +250,16 @@ def statistical_outlier_removal(
     n = len(points)
     if n <= nb_neighbors:
         return np.arange(n)
-    pts = jnp.asarray(points, jnp.float32)
-    d2, _ = knn(pts, pts, jnp.ones(n, bool), nb_neighbors + 1)
-    # drop self (distance 0, first column)
-    mean_d = np.asarray(jnp.mean(jnp.sqrt(d2[:, 1:]), axis=1))
+    nb = shape_bucket(n)
+    padded = np.zeros((nb, 3), np.float32)
+    padded[:n] = points
+    mask = np.arange(nb) < n
+    d2, _ = knn(
+        jnp.asarray(padded), jnp.asarray(padded), jnp.asarray(mask),
+        nb_neighbors + 1,
+    )
+    # drop self (distance 0, first column); padded query rows sliced off
+    mean_d = np.asarray(jnp.mean(jnp.sqrt(d2[:n, 1:]), axis=1))
     mu, sd = mean_d.mean(), mean_d.std()
     return np.where(mean_d <= mu + std_ratio * sd)[0]
 
@@ -279,7 +295,11 @@ def allocate_by_point_count(
     rng: np.random.Generator | None = None,
 ) -> np.ndarray:
     """Proportional allocation with min constraints + stochastic remainder
-    balancing (ref :151-215)."""
+    balancing (ref :151-215).
+
+    Corner case (matches the reference): when even the scaled-down minimums
+    exceed the budget, the 1-point-per-part floor wins and the returned total
+    can exceed ``num_points`` — callers with hard budgets must re-check."""
     rng = rng or np.random.default_rng(0)
     pts_per_part = np.asarray(pts_per_part)
     min_per = np.minimum(min_points_per_part, pts_per_part)

@@ -339,12 +339,28 @@ def extract_features(
     """Full cloud as context, keypoints as queries -> (Q, 32) descriptors.
     Chunked over keypoints to bound the (chunk, K, N) distance work."""
     cfg = dataclasses.replace(cfg, des_r=float(des_r))
-    pts = jnp.asarray(points, jnp.float32)
+    from ..ops.points import shape_bucket
+
+    # pad the context cloud to a bucketed size and the last keypoint chunk to
+    # a full chunk: distinct (Q, N) shapes would otherwise recompile
+    # ball_query + spinnet_forward once per part of every sample
+    n = len(points)
+    nb = shape_bucket(n)
+    padded = np.zeros((nb, 3), np.float32)
+    padded[:n] = points
+    pts = jnp.asarray(padded)
+    mask = jnp.asarray(np.arange(nb) < n)
     out = []
     for i in range(0, len(keypoints), chunk):
-        kp = jnp.asarray(keypoints[i : i + chunk], jnp.float32)
-        patches = extract_patches(pts, kp, des_r, cfg.num_points_per_patch)
-        out.append(np.asarray(spinnet_forward(params, cfg, patches)))
+        kp_np = keypoints[i : i + chunk]
+        q = len(kp_np)
+        kp_pad = np.zeros((chunk, 3), np.float32)
+        kp_pad[:q] = kp_np
+        kp = jnp.asarray(kp_pad)
+        patches = extract_patches(
+            pts, kp, des_r, cfg.num_points_per_patch, mask=mask
+        )
+        out.append(np.asarray(spinnet_forward(params, cfg, patches))[:q])
     return np.concatenate(out, axis=0)
 
 

@@ -78,3 +78,28 @@ class TestNative:
 
         idx = fps_numpy(pts, 5, np.random.default_rng(1))
         assert len(idx) == 5
+
+
+def test_voxel_extent_limit_falls_back():
+    """An axis spanning >= 2^21 voxels can't be packed collision-free in the
+    native 64-bit key; the kernel must signal fallback (None), and the
+    high-level voxel_downsample must still produce correct output."""
+    import numpy as np
+
+    from rap_tpu import native as nat
+    from rap_tpu.ops.points import voxel_downsample
+
+    if nat._load() is None:
+        import pytest
+
+        pytest.skip("native lib not built")
+    pts = np.array(
+        [[0.0, 0, 0], [0.005, 0, 0], [30_000.0, 0, 0]], np.float32
+    )
+    # voxel=0.01 -> x spans 3e6 voxels > 2^21
+    assert nat.voxel_downsample(pts, 0.01) is None
+    out = voxel_downsample(pts, 0.01)
+    assert len(out) == 2  # first two merge, far point stays distinct
+    # in-range clouds still take the native path
+    small = np.random.default_rng(0).standard_normal((100, 3)).astype(np.float32)
+    assert nat.voxel_downsample(small, 0.1) is not None
