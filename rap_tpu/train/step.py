@@ -59,12 +59,25 @@ def make_train_step(cfg: RPFConfig, tx, mesh: Mesh | None = None, remat: bool = 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
-        metrics["grad_norm"] = jnp.sqrt(
+        gnorm = jnp.sqrt(
             sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree.leaves(grads))
         )
+        metrics["grad_norm"] = gnorm
+        # non-finite guard: one inf/nan gradient (loss spike, bad batch)
+        # would otherwise poison the Adam/Muon moments and every later step
+        # (observed in practice: a run NaN'd at step 17.5k and never
+        # recovered). Skip the update, keep params/opt state, count it.
+        finite = jnp.isfinite(gnorm)
+        keep = lambda new, old: jax.tree.map(  # noqa: E731
+            lambda a, b: jnp.where(finite, a, b), new, old
+        )
+        metrics["skipped_nonfinite"] = (~finite).astype(jnp.float32)
         return (
             state.replace(
-                step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+                step=state.step + 1,
+                params=keep(params, state.params),
+                opt_state=keep(opt_state, state.opt_state),
+                rng=rng,
             ),
             metrics,
         )

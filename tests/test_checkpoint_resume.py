@@ -113,3 +113,49 @@ class TestMuonGrouping:
         sw = np.linalg.svd(np.asarray(upd["w"]), compute_uv=False).max()
         st = np.linalg.svd(np.asarray(upd["t"]), compute_uv=False).max()
         np.testing.assert_allclose(sw / st, np.sqrt(3.0), rtol=0.02)
+
+
+class TestNonFiniteGuard:
+    def test_nan_batch_skips_update(self):
+        """A batch that produces non-finite gradients must not change params
+        or optimizer state (one poisoned Adam moment = NaN forever)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from rap_tpu.core.batch import make_regular_synthetic_batch
+        from rap_tpu.models import DiTConfig
+        from rap_tpu.models.dit import init_dit_params
+        from rap_tpu.registration import RPFConfig
+
+        model = DiTConfig(num_layers=1, embed_dim=64, num_heads=2,
+                          local_feat_dim=8)
+        cfg = RPFConfig(model=model)
+        b = make_regular_synthetic_batch(
+            jax.random.key(0), points_per_part=[[16, 16]], N=16, P=2, S=1,
+            feat_dim=8,
+        )
+        tx = build_optimizer(OptimizerConfig(name="muon"), steps_per_epoch=1)
+        params = init_dit_params(jax.random.key(1), model)
+        state = TrainState.create(params, tx, jax.random.key(2))
+        step = make_train_step(cfg, tx)
+
+        bad = b.replace(points_gt=b.points_gt.at[0, 0, 0].set(jnp.nan))
+        p_before = jax.tree.map(np.asarray, state.params)
+        state2, m = step(state, bad)
+        assert float(m["skipped_nonfinite"]) == 1.0
+        for a, c in zip(jax.tree.leaves(p_before),
+                        jax.tree.leaves(state2.params)):
+            np.testing.assert_array_equal(a, np.asarray(c))
+        # and a good batch afterwards still trains (snapshot first: the
+        # train step donates its input state)
+        p2 = jax.tree.map(np.asarray, state2.params)
+        state3, m3 = step(state2, b)
+        assert float(m3["skipped_nonfinite"]) == 0.0
+        assert np.isfinite(float(m3["loss"]))
+        changed = any(
+            not np.array_equal(np.asarray(a), np.asarray(c))
+            for a, c in zip(jax.tree.leaves(p2),
+                            jax.tree.leaves(state3.params))
+        )
+        assert changed
