@@ -56,7 +56,9 @@ def load_params(cfg: Config):
     return params
 
 
-def make_generate_fn(cfg: Config, return_features: bool = False):
+def make_generate_fn(
+    cfg: Config, return_features: bool = False, return_trajectory: bool = True
+):
     @partial(jax.jit, static_argnames=())
     def generate(params, batch, key):
         out = sample(
@@ -64,7 +66,7 @@ def make_generate_fn(cfg: Config, return_features: bool = False):
             cfg.pipeline,
             batch,
             key,
-            return_trajectory=True,
+            return_trajectory=return_trajectory,
             return_transformer_features=return_features,
         )
         R, t = predict_poses(batch, out["points"])
@@ -79,7 +81,17 @@ def run_eval(cfg: Config, params=None) -> dict:
     logger.info("model %s: %.1fM params", cfg.model_name, param_count(params) / 1e6)
     evaluator = Evaluator(cfg.eval)
     meter = MetricsMeter()
-    generate = make_generate_fn(cfg, return_features=cfg.visualize)
+    # trajectories cost n_generations x (steps, G, N, 3) HBM — only record
+    # them when something consumes them (per-step artifacts, GIF rendering,
+    # or the all-steps rigidity-selected aggregation)
+    need_traj = (
+        (cfg.eval.save_results and cfg.eval.save_merged_pointcloud_steps)
+        or cfg.visualize
+        or cfg.eval.use_average_rigidity_rmse
+    )
+    generate = make_generate_fn(
+        cfg, return_features=cfg.visualize, return_trajectory=need_traj
+    )
     visualizer = None
     if cfg.visualize:
         from ..eval.visualizer import FlowVisualization
@@ -118,7 +130,8 @@ def run_eval(cfg: Config, params=None) -> dict:
                 md = evaluator.compute_metrics(batch, out["points"], R, t)
                 jax.block_until_ready(md)
                 gen_results.append(md)
-                trajs.append(out["end_point_trajectory"])
+                if "end_point_trajectory" in out:
+                    trajs.append(out["end_point_trajectory"])
                 final = (out, R, t)
                 if cfg.eval.save_results:
                     evaluator.save_sample_results(
@@ -133,11 +146,13 @@ def run_eval(cfg: Config, params=None) -> dict:
                         trajectory=(
                             np.asarray(out["end_point_trajectory"])
                             if cfg.eval.save_merged_pointcloud_steps
+                            and "end_point_trajectory" in out
                             else None
                         ),
                         midpoint_trajectory=(
                             np.asarray(out["trajectory"])
                             if cfg.eval.save_merged_pointcloud_steps
+                            and "trajectory" in out
                             else None
                         ),
                     )
@@ -147,8 +162,14 @@ def run_eval(cfg: Config, params=None) -> dict:
                 visualizer.on_batch_end(
                     batch,
                     [np.asarray(out["points"])],
-                    [np.asarray(out["end_point_trajectory"])],
-                    midpoint_trajectories=[np.asarray(out["trajectory"])],
+                    (
+                        [np.asarray(out["end_point_trajectory"])]
+                        if "end_point_trajectory" in out else None
+                    ),
+                    midpoint_trajectories=(
+                        [np.asarray(out["trajectory"])]
+                        if "trajectory" in out else None
+                    ),
                     transformer_features=(
                         np.asarray(out["transformer_features"])
                         if "transformer_features" in out
@@ -162,7 +183,11 @@ def run_eval(cfg: Config, params=None) -> dict:
             valid = np.asarray(batch.sample_valid)
             nparts = np.asarray(batch.part_valid).reshape(batch.S, -1).sum(1)
             meter.add_metrics(ds_name, agg["avg"], valid, nparts)
-            for section in ("best_of_%d" % cfg.pipeline.n_generations, "rigidity_selected"):
+            for section in (
+                "best_of_%d" % cfg.pipeline.n_generations,
+                "rigidity_selected",
+                "overlap_ratio_selected",
+            ):
                 if section in agg:
                     meter.add_metrics(
                         ds_name,

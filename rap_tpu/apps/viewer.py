@@ -46,11 +46,19 @@ logger = logging.getLogger("rap_tpu.viewer")
 
 @dataclasses.dataclass
 class ResultSample:
-    """One evaluated sample: input parts + the estimated per-part poses."""
+    """One evaluated sample: part clouds + the estimated per-part poses.
+
+    ``registered`` is True for both supported producers (the evaluator saves
+    predictions, the demo saves transformed clouds) — applying the saved
+    poses to these would double-transform; poses belong on INPUT clouds
+    (pass ``input_dir`` to the browser, like the reference viewer which
+    takes the dataset dir alongside the results dir)."""
 
     name: str
-    parts: list[np.ndarray]                 # input/registered part clouds
-    transforms: list[np.ndarray] | None     # (4,4) per part, or None
+    parts: list[np.ndarray]                 # part clouds (see `registered`)
+    part_indices: list[int]                 # part index per cloud (-1 = merged)
+    transforms: dict[int, np.ndarray] | None  # part index -> (4,4)
+    registered: bool = True
 
 
 def _part_index(f: Path) -> int:
@@ -88,20 +96,19 @@ def load_result_sample(sample_dir, generation: str | int = 0) -> ResultSample:
         part_files = _sorted_by_part(gen_dir.glob("part*_pred.ply"))
         if part_files:
             parts = [plyio.read_ply(f)["points"] for f in part_files]
+            idxs = [_part_index(f) for f in part_files]
         else:
             merged = gen_dir / "merged_pred.ply"
             parts = [plyio.read_ply(merged)["points"]] if merged.is_file() else []
-        T = [poses[k] for k in sorted(poses)] if poses else None
-        return ResultSample(sample_dir.name, parts, T)
+            idxs = [-1] * len(parts)
+        return ResultSample(sample_dir.name, parts, idxs, poses or None)
     reg_dir = sample_dir / "registered"
     if reg_dir.is_dir():
-        parts = [
-            plyio.read_ply(f)["points"]
-            for f in _sorted_by_part(reg_dir.glob("*.ply"))
-        ]
+        part_files = _sorted_by_part(reg_dir.glob("*.ply"))
+        parts = [plyio.read_ply(f)["points"] for f in part_files]
+        idxs = [_part_index(f) for f in part_files]
         poses = _load_transform_files(sample_dir, "part*_transform.txt")
-        T = [poses[k] for k in sorted(poses)] if poses else None
-        return ResultSample(sample_dir.name, parts, T)
+        return ResultSample(sample_dir.name, parts, idxs, poses or None)
     raise FileNotFoundError(f"no results found under {sample_dir}")
 
 
@@ -117,13 +124,21 @@ def discover_result_samples(results_dir) -> list[Path]:
 
 
 def apply_estimated_poses(
-    parts: list[np.ndarray], transforms: list[np.ndarray]
+    parts: list[np.ndarray],
+    part_indices: list[int],
+    transforms: dict[int, np.ndarray],
 ) -> list[np.ndarray]:
-    """Apply per-part 4x4 transforms (the reference viewer's core op:
-    visualize_registered_pointclouds.py applies result-dir poses to inputs)."""
+    """Apply per-part 4x4 transforms, matched BY PART INDEX (the reference
+    viewer's core op: visualize_registered_pointclouds.py applies result-dir
+    poses to inputs). Parts without a saved pose keep identity (warned)."""
     out = []
-    for p, T in zip(parts, transforms):
-        out.append(p @ T[:3, :3].T + T[:3, 3])
+    for p, idx in zip(parts, part_indices):
+        T = transforms.get(idx)
+        if T is None:
+            logger.warning("no saved pose for part %d; leaving it in place", idx)
+            out.append(p)
+        else:
+            out.append(p @ T[:3, :3].T + T[:3, 3])
     return out
 
 
@@ -131,13 +146,34 @@ def render_result_sample(
     sample: ResultSample,
     out_dir,
     apply_poses: bool = False,
+    input_parts: list[np.ndarray] | None = None,
+    input_indices: list[int] | None = None,
     image_size: int = 512,
     views=((25, 45), (25, 135)),
 ) -> list[Path]:
-    """Render part-colored PNGs of a result sample; returns written paths."""
+    """Render part-colored PNGs of a result sample; returns written paths.
+
+    ``apply_poses`` needs UNREGISTERED input clouds (``input_parts``); the
+    saved result clouds are already registered, so applying the saved poses
+    to them would double-transform — refused with a warning."""
     parts = sample.parts
     if apply_poses and sample.transforms:
-        parts = apply_estimated_poses(parts, sample.transforms)
+        if input_parts is not None:
+            idxs = (
+                input_indices
+                if input_indices is not None
+                else list(range(len(input_parts)))
+            )
+            parts = apply_estimated_poses(input_parts, idxs, sample.transforms)
+        elif sample.registered:
+            logger.warning(
+                "%s: result clouds are already registered; --apply-poses "
+                "needs --input-dir with the original input clouds", sample.name,
+            )
+        else:
+            parts = apply_estimated_poses(
+                parts, sample.part_indices, sample.transforms
+            )
     merged = np.concatenate(parts) if parts else np.zeros((0, 3))
     ids = np.concatenate(
         [np.full(len(p), i) for i, p in enumerate(parts)]
@@ -158,12 +194,25 @@ def render_result_sample(
 
 def browse_results(
     results_dir, out_dir, apply_poses: bool = False, limit: int = 0,
-    generation: str | int = 0,
+    generation: str | int = 0, input_dir=None,
 ) -> list[Path]:
-    """Headless batch render of every sample in a results dir."""
+    """Headless batch render of every sample in a results dir.
+
+    ``input_dir``: folder of original (unregistered) input PLYs; with
+    ``apply_poses`` the saved estimated poses are applied to those clouds,
+    matching the reference viewer's dataset-dir + results-dir pairing."""
     samples = discover_result_samples(results_dir)
     if limit:
         samples = samples[:limit]
+    input_parts = input_indices = None
+    if input_dir is not None:
+        files = _sorted_by_part(Path(input_dir).glob("*.ply"))
+        input_parts = [plyio.read_ply(f)["points"] for f in files]
+        idxs = [_part_index(f) for f in files]
+        # unnumbered input files map positionally onto sorted pose indices
+        input_indices = (
+            idxs if all(i >= 0 for i in idxs) else list(range(len(files)))
+        )
     written = []
     for sd in samples:
         try:
@@ -171,7 +220,10 @@ def browse_results(
         except FileNotFoundError as e:
             logger.warning("%s", e)
             continue
-        written += render_result_sample(rs, out_dir, apply_poses=apply_poses)
+        written += render_result_sample(
+            rs, out_dir, apply_poses=apply_poses,
+            input_parts=input_parts, input_indices=input_indices,
+        )
     logger.info("rendered %d images to %s", len(written), out_dir)
     return written
 
@@ -250,6 +302,10 @@ def main(argv=None):
     r.add_argument("--results-dir", required=True)
     r.add_argument("-o", "--output", default="viewer_output")
     r.add_argument("--apply-poses", action="store_true")
+    r.add_argument(
+        "--input-dir", default=None,
+        help="folder of original input PLYs to apply the estimated poses to",
+    )
     r.add_argument("--generation", default="0")
     r.add_argument("--limit", type=int, default=0)
     s = sub.add_parser("samples", help="browse training-sample folders")
@@ -262,6 +318,7 @@ def main(argv=None):
         browse_results(
             args.results_dir, args.output, apply_poses=args.apply_poses,
             limit=args.limit, generation=args.generation,
+            input_dir=args.input_dir,
         )
     else:
         browse_samples(args.data_dir, args.output, pca=args.pca, limit=args.limit)

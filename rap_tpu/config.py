@@ -62,23 +62,6 @@ class Config:
     n_devices: int = 0              # 0 = all
 
 
-def _coerce(value: str, field_type) -> Any:
-    import typing
-
-    if field_type is bool or field_type == "bool":
-        return value.lower() in ("1", "true", "yes", "on")
-    if field_type in (int, float, str):
-        return field_type(value)
-    origin = typing.get_origin(field_type)
-    if origin in (tuple, list):
-        items = [v for v in value.strip("[]() ").split(",") if v]
-        args = typing.get_args(field_type)
-        elem = args[0] if args else str
-        return tuple(_coerce(i.strip(), elem) for i in items)
-    # fall back to YAML parsing (None, numbers, lists)
-    return yaml.safe_load(value)
-
-
 def _build(dc_type, data: dict[str, Any]):
     """Recursively construct a dataclass from a plain dict."""
     if data is None:
@@ -121,7 +104,10 @@ def _apply_override(cfg_dict: dict, dotted: str, value: str) -> None:
         if isinstance(d, list):
             d = d[int(k)]
         else:
-            d = d.setdefault(k, {})
+            nxt = d.setdefault(k, {})
+            if nxt is None:  # empty YAML section (`trainer:` with no body)
+                nxt = d[k] = {}
+            d = nxt
     if isinstance(d, list):
         d[int(keys[-1])] = yaml.safe_load(value)
     else:
@@ -144,7 +130,11 @@ def load_config(
     # model zoo resolution: model_name picks a base DiTConfig; explicit
     # model-dict keys override it
     name = data.get("model_name", "rap_12")
-    base_model = MODEL_ZOO.get(name, DiTConfig())
+    if name not in MODEL_ZOO:
+        raise KeyError(
+            f"unknown model_name '{name}'; available: {sorted(MODEL_ZOO)}"
+        )
+    base_model = MODEL_ZOO[name]
     model_over = data.pop("model", {}) or {}
     model = dataclasses.replace(base_model, **model_over)
     data["model"] = {}

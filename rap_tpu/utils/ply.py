@@ -93,7 +93,11 @@ def read_ply(path, read_faces: bool = True) -> dict[str, np.ndarray]:
             rows = []
             for _ in range(n_vertex):
                 rows.append(f.readline().split())
-            arr = np.array(rows, dtype=np.float64)
+            arr = (
+                np.array(rows, dtype=np.float64)
+                if rows
+                else np.zeros((0, len(names)))  # 'element vertex 0' files
+            )
             data = {n: arr[:, i] for i, n in enumerate(names)}
             if read_faces and n_face and face_list_types:
                 faces = []

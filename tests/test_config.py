@@ -94,3 +94,21 @@ class TestExperimentTracker:
         tr.log(1, {"loss": 1.0})
         tr.finish()
         assert not (tmp_path / "r").exists()
+
+
+def test_unknown_model_name_raises():
+    import pytest
+
+    from rap_tpu.config import load_config
+
+    with pytest.raises(KeyError, match="rap_14"):
+        load_config(overrides=["model_name=rap_14"])
+
+
+def test_override_into_empty_yaml_section(tmp_path):
+    from rap_tpu.config import load_config
+
+    p = tmp_path / "c.yaml"
+    p.write_text("model_name: rap_10\ntrainer:\n")  # bare section -> None
+    cfg = load_config(p, overrides=["trainer.seed=7"])
+    assert cfg.trainer.seed == 7

@@ -43,7 +43,9 @@ class TestResultsBrowser:
         [sd] = V.discover_result_samples(res)
         rs = V.load_result_sample(sd)
         assert rs.transforms is not None and len(rs.transforms) == 2
-        moved = V.apply_estimated_poses(rs.parts, rs.transforms)
+        moved = V.apply_estimated_poses(
+            rs.parts, rs.part_indices, rs.transforms
+        )
         assert moved[0].shape == rs.parts[0].shape
 
     def test_renders_demo_output_layout(self, tmp_path):
@@ -87,3 +89,39 @@ class TestSampleBrowser:
         ])
         assert rc == 0
         assert (tmp_path / "viz" / "s0_parts.png").exists()
+
+
+def test_apply_poses_refuses_registered_and_uses_input_dir(tmp_path, caplog):
+    """Registered result clouds are never double-transformed; with an
+    --input-dir the estimated poses apply to the input clouds by index."""
+    import logging
+
+    import numpy as np
+
+    from rap_tpu.apps.viewer import load_result_sample, render_result_sample
+    from rap_tpu.utils import ply as plyio
+
+    rng = np.random.default_rng(0)
+    sd = tmp_path / "sample"
+    gen = sd / "generation_0"
+    gen.mkdir(parents=True)
+    pts = rng.standard_normal((50, 3)).astype(np.float32)
+    plyio.write_ply(gen / "part00_pred.ply", pts)
+    plyio.write_ply(gen / "part01_pred.ply", pts + 5.0)
+    T = np.eye(4); T[:3, 3] = [1, 2, 3]
+    np.savetxt(gen / "part00_pose.txt", T)
+    np.savetxt(gen / "part01_pose.txt", np.eye(4))
+    rs = load_result_sample(sd)
+    assert rs.registered and rs.part_indices == [0, 1]
+
+    out = tmp_path / "viz"; out.mkdir()
+    with caplog.at_level(logging.WARNING):
+        render_result_sample(rs, out, apply_poses=True)
+    assert any("already registered" in r.message for r in caplog.records)
+
+    # input clouds provided: poses applied by part index
+    inputs = [pts.copy(), pts.copy()]
+    w = render_result_sample(
+        rs, out, apply_poses=True, input_parts=inputs, input_indices=[0, 1]
+    )
+    assert w
