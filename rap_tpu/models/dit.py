@@ -191,6 +191,7 @@ def _attention_block(
         and seq_len % 128 == 0
         and D % 128 == 0
         and dh % 8 == 0
+        and dh < 128  # full-path acc scratch holds dh+1 lanes in a 128 tile
     )
     if fused_ok:
         from ..ops.fused_proj import adaln_qkv, attn_out

@@ -308,10 +308,17 @@ def flash_attention_headmajor(
     """No-padding flash attention on pre-laid-out head-major tensors (the
     fused AdaLN+QKV projection kernel in ops/fused_proj.py emits exactly this
     layout/domain — no transposes, scales, or pads between the two kernels).
-    Differentiable. Returns (BH, T, d)."""
+    Differentiable. Returns (BH, T, d).
+
+    CONTRACT: ``vah[..., d]`` must be CONSTANT ONES (the in-matmul rowsum
+    trick). The custom VJP defines that column's cotangent as zero — correct
+    for a constant, silently wrong for anything parameter-derived.
+    """
     Tq = qh.shape[1]
     Tk = kh.shape[1]
+    d = qh.shape[2]
     assert Tq % 128 == 0 and Tk % 128 == 0, "headmajor path needs %128 dims"
+    assert d < 128, "full-path acc scratch holds d+1 lanes in a 128 tile"
     bq, bk = _full_block_sizes(Tq, Tk)
     bound = jnp.reshape(logit_bound2, (1,)).astype(jnp.float32)
     return _flash_hm_full_va(qh, kh, vah, bound, softcap, bq, bk, interpret)
@@ -507,15 +514,17 @@ def _flash_hm_fwd(qh, kh, vh, maski, softcap, block_q, block_k, interpret):
 
 
 def _divisor_cap(block: int, cap: int) -> int:
-    """Largest divisor of ``block`` that is <= cap. Blocks are multiples of
-    128 (enforced by flash_attention), so a valid divisor >= 128 exists —
-    anything else would silently truncate the backward grid."""
+    """Largest MULTIPLE-OF-128 divisor of ``block`` that is <= cap. Blocks
+    are multiples of 128 (asserted in flash_attention), so 128 itself always
+    qualifies. Scanning all integers would be wrong: e.g. block=1280 has
+    divisor 320, which is Mosaic-illegal as a (1, 1, 320) lse/delta
+    BlockSpec lane size."""
     if block <= cap:
         return block
-    for cand in range(cap, 127, -1):
+    for cand in range(cap - cap % 128, 127, -128):
         if block % cand == 0:
             return cand
-    raise ValueError(f"no divisor of block={block} within cap={cap}")
+    raise ValueError(f"no 128-multiple divisor of block={block} within {cap}")
 
 
 def _flash_hm_bwd(softcap, block_q, block_k, interpret, res, dout):
@@ -575,8 +584,14 @@ def flash_attention(
         scale = 1.0 / math.sqrt(q.shape[-1])
     B, Tq, H, d = q.shape
     Tk = k.shape[1]
+    assert block_q % 128 == 0 and block_k % 128 == 0, (
+        f"block sizes must be multiples of 128 (Mosaic lane tiling), got "
+        f"block_q={block_q} block_k={block_k}"
+    )
 
-    full = kv_mask is None and Tq % 128 == 0 and Tk % 128 == 0
+    # the full path's acc scratch holds d+1 lanes in a 128-lane tile; d=128
+    # heads must take the masked path (which handles d=128 fine)
+    full = kv_mask is None and Tq % 128 == 0 and Tk % 128 == 0 and d < 128
 
     # pre-fold the softmax scale (and log2e) into q: one multiply over T*d
     # elements instead of one per T*T logit element inside the kernel

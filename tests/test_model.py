@@ -620,3 +620,40 @@ class TestFusedProjPath:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=5e-4, rtol=2e-3
             )
+
+
+class TestKernelBlockLegality:
+    def test_divisor_cap_returns_128_multiples(self):
+        from rap_tpu.ops.pallas_attention import _divisor_cap
+
+        # 1280 has divisor 320 <= 512, but 320 is Mosaic-illegal as a lane
+        # block; the largest legal divisor is 256
+        assert _divisor_cap(1280, 512) == 256
+        assert _divisor_cap(1920, 512) == 384  # 384 = 3*128, divides 1920
+        assert _divisor_cap(2048, 512) == 512
+        assert _divisor_cap(384, 512) == 384   # under cap: unchanged
+        for block in (640, 896, 1408, 1792):
+            d = _divisor_cap(block, 512)
+            assert block % d == 0 and d % 128 == 0 and d <= 512
+
+    def test_non_multiple_block_asserts(self):
+        import pytest
+
+        from rap_tpu.ops.pallas_attention import flash_attention
+
+        q = jnp.zeros((1, 256, 2, 64), jnp.float32)
+        with pytest.raises(AssertionError, match="multiples of 128"):
+            flash_attention(q, q, q, None, block_q=1000, interpret=True)
+
+    def test_d128_takes_masked_path(self):
+        """head_dim=128 must not route to the full path (its acc scratch
+        holds d+1 lanes in a 128-lane tile)."""
+        import numpy as np
+
+        from rap_tpu.ops.pallas_attention import flash_attention
+
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.standard_normal((1, 256, 2, 128)), jnp.float32)
+        out = flash_attention(q, q, q, None, interpret=True)
+        assert out.shape == (1, 256, 2, 128)
+        assert bool(jnp.isfinite(out).all())
