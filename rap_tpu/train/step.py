@@ -9,7 +9,6 @@ of DDP's NCCL bucket all-reduce.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax

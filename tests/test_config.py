@@ -1,6 +1,5 @@
 """Config system tests: YAML load, includes, overrides, model zoo."""
 
-import jax.numpy as jnp
 
 from rap_tpu.config import load_config
 
@@ -70,7 +69,7 @@ class TestExperimentTracker:
     def test_jsonl_config_snapshot_and_resume_id(self, tmp_path):
         import json
 
-        from rap_tpu.train.tracking import ExperimentTracker, find_run_id, snapshot_code
+        from rap_tpu.train.tracking import ExperimentTracker, find_run_id
 
         tr = ExperimentTracker(tmp_path, config={"lr": 1e-3}, use_wandb=False)
         tr.log(1, {"loss": 2.5})

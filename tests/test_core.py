@@ -12,7 +12,7 @@ import pytest
 from scipy.spatial.transform import Rotation
 
 from rap_tpu.core import flow, procrustes, sampler, segments
-from rap_tpu.core.batch import PartBatch, make_synthetic_batch, validate
+from rap_tpu.core.batch import make_synthetic_batch, validate
 
 
 def _rand_rot(rng):

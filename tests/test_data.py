@@ -1,7 +1,6 @@
 """Data pipeline tests: augmentation contract, storage formats, packing."""
 
 import numpy as np
-import pytest
 
 from rap_tpu.core.batch import validate
 from rap_tpu.data import (

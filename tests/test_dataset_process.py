@@ -16,7 +16,6 @@ from rap_tpu.dataset_process.process import (
     array_sequence_loader,
     process_sequence,
 )
-from rap_tpu.utils import ply as plyio
 
 
 class TestGeometry:

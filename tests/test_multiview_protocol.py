@@ -5,7 +5,6 @@ attention masking, per-part pose fitting, Hungarian part accuracy, artifact
 persistence, and multi-generation aggregation in one pass."""
 
 import json
-from pathlib import Path
 
 import numpy as np
 import pytest

@@ -15,7 +15,7 @@ import pytest
 from rap_tpu.core.batch import make_regular_synthetic_batch
 from rap_tpu.models import DiTConfig
 from rap_tpu.models.dit import init_dit_params
-from rap_tpu.registration import RPFConfig, predict_poses, sample
+from rap_tpu.registration import RPFConfig, sample
 from rap_tpu.train import OptimizerConfig, TrainState, build_optimizer, make_train_step
 
 

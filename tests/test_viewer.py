@@ -2,7 +2,6 @@
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from rap_tpu.apps import viewer as V
 from rap_tpu.core.batch import make_regular_synthetic_batch
