@@ -151,12 +151,15 @@ def convert_to_points(
         }
     if ext in (".pts", ".xyz", ".txt"):
         return {"points": read_ascii_points(src)}
-    if ext in (".las", ".laz"):
+    if ext == ".las":
+        # uncompressed LAS reads natively (utils/ply.read_las, no deps)
+        return {"points": plyio.read_las(src)["points"]}
+    if ext == ".laz":
         try:
             import laspy
         except ImportError as e:
             raise RuntimeError(
-                f"converting {src.name} requires the 'laspy' package"
+                f"converting {src.name} (compressed LAZ) requires 'laspy'"
             ) from e
         las = laspy.read(str(src))
         return {"points": np.stack([las.x, las.y, las.z], axis=-1).astype(np.float64)}

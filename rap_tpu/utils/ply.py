@@ -298,3 +298,70 @@ def read_pcd(path) -> dict[str, np.ndarray]:
             [(u >> 16) & 255, (u >> 8) & 255, u & 255], axis=-1
         ).astype(np.uint8)
     return out
+
+
+def read_las(path) -> dict[str, np.ndarray]:
+    """Minimal uncompressed-LAS reader (versions 1.0-1.4, any point format).
+
+    Every LAS point record begins with x, y, z as int32 to be scaled by the
+    header's scale/offset doubles (LAS spec §2) — that is all the runtime
+    needs, so no laspy dependency for plain .las (compressed .laz still
+    requires an external decoder and stays gated in the webapp).
+    """
+    import struct
+
+    with open(path, "rb") as f:
+        head = f.read(375)
+        if head[:4] != b"LASF":
+            raise ValueError(f"{path}: not a LAS file")
+        ver_minor = head[25]
+        offset_to_points = struct.unpack_from("<I", head, 96)[0]
+        record_len = struct.unpack_from("<H", head, 105)[0]
+        n = struct.unpack_from("<I", head, 107)[0]  # legacy count
+        if ver_minor >= 4:
+            n64 = struct.unpack_from("<Q", head, 247)[0]
+            n = n64 or n
+        sx, sy, sz = struct.unpack_from("<3d", head, 131)
+        ox, oy, oz = struct.unpack_from("<3d", head, 155)
+        f.seek(offset_to_points)
+        raw = f.read(record_len * n)
+    rec = np.frombuffer(raw, dtype=np.uint8, count=record_len * n)
+    rec = rec.reshape(n, record_len)
+    xyz = rec[:, :12].copy().view("<i4").reshape(n, 3).astype(np.float64)
+    pts = xyz * np.array([sx, sy, sz]) + np.array([ox, oy, oz])
+    return {"points": pts}
+
+
+def write_las(path, points: np.ndarray, scale: float = 1e-3) -> None:
+    """Minimal LAS 1.2 point-format-0 writer (testing + interchange)."""
+    import struct
+
+    pts = np.asarray(points, np.float64)
+    n = len(pts)
+    off = pts.min(axis=0) if n else np.zeros(3)
+    header_size = 227
+    record_len = 20
+    head = bytearray(header_size)
+    head[0:4] = b"LASF"
+    head[24] = 1
+    head[25] = 2
+    struct.pack_into("<H", head, 94, header_size)
+    struct.pack_into("<I", head, 96, header_size)
+    head[104] = 0
+    struct.pack_into("<H", head, 105, record_len)
+    struct.pack_into("<I", head, 107, n)
+    struct.pack_into("<3d", head, 131, scale, scale, scale)
+    struct.pack_into("<3d", head, 155, *off)
+    mins = pts.min(axis=0) if n else np.zeros(3)
+    maxs = pts.max(axis=0) if n else np.zeros(3)
+    # header order: max_x, min_x, max_y, min_y, max_z, min_z
+    struct.pack_into(
+        "<6d", head, 179,
+        maxs[0], mins[0], maxs[1], mins[1], maxs[2], mins[2],
+    )
+    ixyz = np.round((pts - off) / scale).astype("<i4")
+    rec = np.zeros((n, record_len), np.uint8)
+    rec[:, :12] = ixyz.view(np.uint8).reshape(n, 12)
+    with open(path, "wb") as f:
+        f.write(bytes(head))
+        f.write(rec.tobytes())

@@ -159,3 +159,18 @@ class TestLargeCoordinatePrecision:
         # after shifting by the min corner, float32 storage preserves the mm
         shifted = (data["points"] - data["points"].min(0)).astype(np.float32)
         np.testing.assert_allclose(shifted[1, 0] - shifted[0, 0], 0.001, rtol=1e-4)
+
+
+def test_las_conversion_native(tmp_path):
+    """Uncompressed .las converts without laspy (native reader)."""
+    import numpy as np
+
+    from rap_tpu.apps.webapp import convert_to_points
+    from rap_tpu.utils import ply as plyio
+
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((200, 3)) * 10
+    src = tmp_path / "cloud.las"
+    plyio.write_las(src, pts)
+    data = convert_to_points(src)
+    np.testing.assert_allclose(data["points"], pts, atol=2e-3)
