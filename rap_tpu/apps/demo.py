@@ -144,9 +144,17 @@ def run_demo(args) -> int:
     out_dir = Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    if args.n_generations < 1:
+        logger.error("--n-generations must be >= 1 (got %d)", args.n_generations)
+        return 1
     originals = []
     for f in ply_files:
         pts = plyio.read_ply(f)["points"]
+        if len(pts) == 0:
+            # an empty part would flow through as NaN centers and poison
+            # every pose (all-NaN outputs if it lands at index 0)
+            logger.error("%s has zero points — remove or fix the input", f.name)
+            return 1
         if args.camera_frame:
             pts = pts @ CAMERA_FRAME_ROTATION.T
         originals.append(pts)
@@ -188,13 +196,16 @@ def run_demo(args) -> int:
         rng=np.random.default_rng(args.seed),
         train=False,
     )
-    # eval-mode bookkeeping needed to map poses back to metric coords
+    # eval-mode bookkeeping needed to map poses back to metric coords —
+    # read off the Sample the augmentation just built instead of re-deriving
+    # the label contract (dataset.py carries exactly these quantities:
+    # anchor translation = -gt_trans, per-part translation = cond_offset -
+    # gt_trans... see data/dataset.py augment_sample)
     primary = smp.anchor_idx
     primary_center = kpts[primary].mean(0)
-    scaled = [(k - primary_center) / smp.scale for k in kpts]
-    gt_trans = np.concatenate(scaled).mean(0)
+    gt_trans = -np.asarray(smp.translations[primary], np.float64)
     cond_offsets = [
-        np.zeros(3) if i == primary else gt_trans + (scaled[i] - gt_trans).mean(0)
+        np.asarray(smp.translations[i], np.float64) + gt_trans
         for i in range(len(kpts))
     ]
 
@@ -266,10 +277,12 @@ def run_demo(args) -> int:
     T0_inv = np.linalg.inv(Ts[0])
     reg_dir = out_dir / "registered"
     reg_dir.mkdir(exist_ok=True)
+    regs = []
     for p, (f, orig) in enumerate(zip(ply_files, originals)):
         T = T0_inv @ Ts[p]
         reg = orig @ T[:3, :3].T + T[:3, 3]
         plyio.write_ply(reg_dir / f.name, reg)
+        regs.append(reg)
         np.savetxt(out_dir / f"part{p}_transform.txt", T, fmt="%.8f")
         logger.info("part %d (%s): |t|=%.3f m", p, f.name, np.linalg.norm(T[:3, 3]))
     logger.info("registered clouds written to %s", reg_dir)
@@ -295,9 +308,6 @@ def run_demo(args) -> int:
         # the registered scene from two viewpoints
         from ..utils.render import part_ids_to_colors, render_point_cloud_raster, save_image
 
-        regs = [
-            plyio.read_ply(reg_dir / f.name)["points"] for f in ply_files
-        ]
         merged = np.concatenate(regs)
         ids = np.concatenate([np.full(len(r), i) for i, r in enumerate(regs)])
         cols = part_ids_to_colors(ids)
@@ -320,7 +330,12 @@ def main(argv=None):
              "resolved relative to the package so it works from any cwd)",
     )
     ap.add_argument("-out", "--output", default="demo_output")
-    ap.add_argument("--config", default="configs/rap_inference.yaml")
+    # like -i: resolved relative to the repo so the demo (and the webapp
+    # calling it in-process) works from any cwd
+    bundled_cfg = (
+        Path(__file__).resolve().parents[2] / "configs" / "rap_inference.yaml"
+    )
+    ap.add_argument("--config", default=str(bundled_cfg))
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--model", default="rap_12")
     ap.add_argument("--num-steps", type=int, default=10)

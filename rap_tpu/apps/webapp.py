@@ -59,7 +59,7 @@ def sample_mesh_surface(
     area = 0.5 * np.linalg.norm(cross, axis=1)
     total = area.sum()
     if total <= 0:
-        return v.astype(np.float32), np.zeros_like(v, dtype=np.float32)
+        return v, np.zeros_like(v, dtype=np.float32)
     probs = area / total
     idx = rng.choice(len(f), size=n, p=probs)
     # uniform barycentric coordinates
@@ -72,7 +72,9 @@ def sample_mesh_surface(
     nrm = cross[idx] / np.maximum(
         np.linalg.norm(cross[idx], axis=1, keepdims=True), 1e-12
     )
-    return pts.astype(np.float32), nrm.astype(np.float32)
+    # float64 out: large-coordinate meshes must survive until the global
+    # shift (the PLY writer downcasts at write time)
+    return pts, nrm.astype(np.float32)
 
 
 def read_obj(path) -> tuple[np.ndarray, np.ndarray]:
@@ -124,8 +126,10 @@ def convert_to_points(
     """
     src = Path(src)
     ext = src.suffix.lower()
+    if ext not in POINT_CLOUD_EXTS | MESH_EXTS:
+        raise ValueError(f"unsupported input format: {src.name}")
     if ext == ".ply":
-        data = plyio.read_ply(src)
+        data = plyio.read_ply(src, dtype=np.float64)
         faces = data.get("faces")
         if faces is not None and len(faces) and len(data["points"]):
             pts, nrm = sample_mesh_surface(
@@ -144,7 +148,7 @@ def convert_to_points(
             return {"points": pts.astype(np.float64), "normals": nrm}
         return {"points": v}
     if ext == ".pcd":
-        data = plyio.read_pcd(src)
+        data = plyio.read_pcd(src, dtype=np.float64)
         return {
             "points": data["points"].astype(np.float64),
             "colors": data.get("colors"),
@@ -381,7 +385,7 @@ def run_rap_demo(
     input_files: list,
     workdir,
     model: str = "rap_12",
-    checkpoint: str = "",
+    checkpoint: str = "auto",
     num_steps: int = 10,
     n_generations: int = 1,
     voxel_size: float | None = None,
@@ -439,12 +443,33 @@ def run_rap_demo(
         "--max-points-per-part", str(max_points_per_part),
         "--seed", str(seed),
     ]
+    if checkpoint == "auto":
+        # resolve the released weights by model name (local cache / HF hub /
+        # IPB zip — train/weights.py); warn VISIBLY when nothing resolves:
+        # random weights produce garbage registrations that would otherwise
+        # be reported as success (ref app.py defaults to real weights)
+        from ..train.weights import resolve_checkpoint
+
+        try:
+            checkpoint = str(resolve_checkpoint(f"{model.replace('rap_', 'rap_model_')}.ckpt"))
+            log.append(f"checkpoint: {checkpoint}")
+        except FileNotFoundError:
+            checkpoint = ""
+            log.append(
+                "WARNING: no checkpoint resolved — registering with RANDOM "
+                "weights (pass checkpoint= explicitly or place weights in "
+                "the cache)"
+            )
     if checkpoint:
         args += ["--checkpoint", checkpoint]
     if voxel_size:
         args += ["--voxel-size", str(voxel_size), "--no-adaptive-parameters"]
     log.append("running registration (in-process demo): " + " ".join(args))
-    demo_main(args)
+    rc = demo_main(args)
+    if rc:
+        raise RuntimeError(
+            f"registration failed (demo exit status {rc}); log:\n" + "\n".join(log)
+        )
 
     reg_dir = out_dir / "registered"
     glb = combine_registered_to_glb(reg_dir, out_dir / "registered.glb")

@@ -35,10 +35,14 @@ def read_ply_points(path) -> np.ndarray:
     return read_ply(path)["points"]
 
 
-def read_ply(path, read_faces: bool = True) -> dict[str, np.ndarray]:
-    """Read vertex data. Returns dict with 'points' (N,3) f32, optionally
-    'normals' (N,3) f32, 'colors' (N,3) u8, and — for mesh PLYs — 'faces'
-    (F,3) i64 (polygons fan-triangulated)."""
+def read_ply(path, read_faces: bool = True, dtype=np.float32) -> dict[str, np.ndarray]:
+    """Read vertex data. Returns dict with 'points' (N,3), optionally
+    'normals' (N,3), 'colors' (N,3) u8, and — for mesh PLYs — 'faces'
+    (F,3) i64 (polygons fan-triangulated).
+
+    ``dtype``: output coordinate dtype. Pass np.float64 for georeferenced
+    clouds whose large-coordinate content must survive until a global shift
+    (float32 quantizes UTM-scale coordinates to several cm)."""
     path = Path(path)
     with open(path, "rb") as f:
         line = f.readline().strip()
@@ -143,7 +147,7 @@ def read_ply(path, read_faces: bool = True) -> dict[str, np.ndarray]:
     out: dict[str, np.ndarray] = {
         "points": np.stack(
             [data["x"], data["y"], data["z"]], axis=-1
-        ).astype(np.float32)
+        ).astype(dtype)
     }
     if all(k in data for k in ("nx", "ny", "nz")):
         out["normals"] = np.stack(
@@ -265,7 +269,7 @@ def write_pcd(
             np.savetxt(f, np.column_stack(cols), fmt="%.9g")
 
 
-def read_pcd(path) -> dict[str, np.ndarray]:
+def read_pcd(path, dtype=np.float32) -> dict[str, np.ndarray]:
     """Minimal PCD reader for round-trip tests: returns {'points', 'colors'?}."""
     path = Path(path)
     with open(path, "rb") as f:
@@ -290,7 +294,7 @@ def read_pcd(path) -> dict[str, np.ndarray]:
         else:
             arr = np.loadtxt(f, dtype=np.float64).reshape(n, len(fields))
             rec = {name: arr[:, i].astype(dt[name]) for i, name in enumerate(fields)}
-    out = {"points": np.stack([rec["x"], rec["y"], rec["z"]], axis=-1).astype(np.float32)}
+    out = {"points": np.stack([rec["x"], rec["y"], rec["z"]], axis=-1).astype(dtype)}
     if "rgb" in fields:
         u = np.ascontiguousarray(rec["rgb"])
         u = u.view(np.uint32) if u.dtype != np.uint32 else u
