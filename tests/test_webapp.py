@@ -174,3 +174,26 @@ def test_las_conversion_native(tmp_path):
     plyio.write_las(src, pts)
     data = convert_to_points(src)
     np.testing.assert_allclose(data["points"], pts, atol=2e-3)
+
+
+def test_auto_checkpoint_warns_visibly_when_unresolved(tmp_path, monkeypatch):
+    """checkpoint='auto' with no resolvable weights must register with a
+    VISIBLE warning in the returned log (not only a server-side logger)."""
+    import numpy as np
+
+    from rap_tpu.apps.webapp import run_rap_demo
+    from rap_tpu.utils import ply as plyio
+
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")   # fail fast, no retries
+    monkeypatch.setenv("RAP_TPU_CACHE", str(tmp_path / "cache"))
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((2000, 3)).astype(np.float64)
+    a = tmp_path / "a.ply"
+    b = tmp_path / "b.ply"
+    plyio.write_ply(a, base)
+    plyio.write_ply(b, base + [0.1, 0.0, 0.0])
+    out = run_rap_demo(
+        [a, b], tmp_path / "wk", num_steps=1, max_points_per_part=128,
+    )
+    assert "RANDOM" in out["log"]
+    assert out["zip"]
