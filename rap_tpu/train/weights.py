@@ -62,10 +62,25 @@ def _verify(path: Path, sha256: str | None) -> Path:
     return path
 
 
+def _reachable(host: str, port: int = 443, timeout: float = 2.0) -> bool:
+    """Fast connectivity probe: skip downloads (and their ~25 s of internal
+    retries) in offline environments."""
+    import socket
+
+    try:
+        socket.getaddrinfo(host, port)
+        return True
+    except OSError:
+        return False
+
+
 def _try_hf_hub(filename: str, cache_dir: Path) -> Path | None:
     try:
         from huggingface_hub import hf_hub_download
     except ImportError:
+        return None
+    if not _reachable("huggingface.co"):
+        logger.info("huggingface.co unreachable — skipping HF hub")
         return None
     try:
         p = hf_hub_download(
@@ -81,8 +96,14 @@ def _try_hf_hub(filename: str, cache_dir: Path) -> Path | None:
 def _try_zip(filename: str, cache_dir: Path, url: str) -> Path | None:
     """Download + extract the IPB weights.zip (once) and look inside."""
     import urllib.request
+    from urllib.parse import urlparse
 
     zip_path = cache_dir / "weights.zip"
+    if not zip_path.exists():
+        host = urlparse(url).hostname or ""
+        if host and not _reachable(host):
+            logger.info("%s unreachable — skipping weights zip", host)
+            return None
     try:
         if not zip_path.exists():
             logger.info("downloading %s ...", url)
