@@ -16,9 +16,13 @@ parts/points by gathers on ``sample_of_part`` — the static-shape equivalent of
 reference's ``repeat_by_cu_seqlens`` (utils/point_clouds.py:161-184).
 
 Invariants (checked by :func:`validate`):
-  - ``sample_of_part`` is non-decreasing, in ``[0, S)``; padded part slots carry the
-    id of the *last* valid sample region they follow (so segment attention masks
-    stay block-diagonal) and ``part_valid=False``.
+  - ``sample_of_part`` is non-decreasing, in ``[0, S)``, and
+    ``part_valid=False`` on padded slots. Two padded-slot id conventions
+    exist and both are legal: the regular collator
+    (data/packer.py collate_to_part_batch) gives every slot its own sample
+    id (``repeat(arange(S), P)``); the irregular synthetic builder reuses
+    the last valid sample's id. Segment masks stay block-diagonal either
+    way because invalid parts are masked out.
   - invalid points have ``point_mask=False`` and zeroed coordinates.
   - each valid sample has >=1 valid part, exactly one anchor part among them.
 """
@@ -285,6 +289,13 @@ def validate(batch: PartBatch) -> None:
     anc = np.asarray(batch.anchor_part)
     assert (np.diff(sop) >= 0).all(), "sample_of_part must be non-decreasing"
     assert sop.min() >= 0 and sop.max() < batch.S
+    # masked point slots must hold zeroed coordinates (ops that sum-then-
+    # divide over the point axis rely on padded zeros)
+    pts = np.asarray(batch.points)
+    gts = np.asarray(batch.points_gt)
+    pad = ~pm[..., None]
+    assert not (pts * pad).any(), "masked points carry nonzero coordinates"
+    assert not (gts * pad).any(), "masked GT points carry nonzero coordinates"
     assert not (anc & ~pv).any(), "anchor flags on invalid parts"
     assert not (pm.any(axis=1) & ~pv).any(), "points on invalid parts"
     assert (pm.any(axis=1) | ~pv).all(), "valid parts must have >=1 point"

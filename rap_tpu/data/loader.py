@@ -176,6 +176,14 @@ class BatchLoader:
                 samples, plan.N, plan.P, per, sample_offset=lo,
                 feat_dim=ds.cfg.feat_dim,
             )
+            # the no_padding static flag branches the compiled program
+            # (mask-free vs masked attention). It was computed from THIS
+            # process's slice; other hosts may disagree (e.g. the tail pad
+            # slots live on one host) and a locally-dense slice of a
+            # globally-padded batch is wrong anyway — force the conservative
+            # masked program so every host traces identical HLO.
+            if batch.no_padding:
+                batch = batch.replace(no_padding=False)
             self.padding_stats.add(batch)
             return [(batch, names, ds.cfg.dataset_name)]
 

@@ -39,6 +39,11 @@ def _bucket(value: int, ladder) -> int:
     raise ValueError(f"value {value} exceeds ladder {ladder[-1]}")
 
 
+def pad_to_multiple(x: int, m: int) -> int:
+    """Ceil x up to a multiple of m."""
+    return -(-x // m) * m
+
+
 @dataclasses.dataclass
 class BatchPlan:
     """Indices of the samples in one batch plus its static shape."""
@@ -80,7 +85,7 @@ def plan_batches(
     def flush():
         nonlocal cur, cur_P, cur_N
         if cur:
-            S = -(-len(cur) // s_multiple) * s_multiple
+            S = pad_to_multiple(len(cur), s_multiple)
             plans.append(BatchPlan(indices=cur, N=cur_N, P=cur_P, S=S))
         cur, cur_P, cur_N = [], 0, 0
 
@@ -89,13 +94,26 @@ def plan_batches(
         N_i = _bucket(max(max_part_points[i], 1), N_BUCKETS)
         new_P = max(cur_P, P_i)
         new_N = max(cur_N, N_i)
-        new_S = -(-(len(cur) + 1) // s_multiple) * s_multiple
-        if cur and new_S * new_P * new_N > max_points_per_batch:
+        new_S = pad_to_multiple(len(cur) + 1, s_multiple)
+        cur_shape = cur_P * cur_N * pad_to_multiple(max(len(cur), 1), s_multiple)
+        # flush on budget overflow — UNLESS the padded shape is unchanged:
+        # the sample then fills an S slot the batch already pays for (an
+        # over-budget singleton padded to S=s_multiple must not spawn
+        # s_multiple singleton batches of the identical compiled shape)
+        if (
+            cur
+            and new_S * new_P * new_N > max_points_per_batch
+            and new_S * new_P * new_N != cur_shape
+        ):
             flush()
             new_P, new_N = P_i, N_i
         cur.append(int(i))
         cur_P, cur_N = new_P, new_N
-        if cur_P * cur_N * -(-len(cur) // s_multiple) * s_multiple >= max_points_per_batch:
+        if (
+            cur_P * cur_N * pad_to_multiple(len(cur), s_multiple)
+            >= max_points_per_batch
+            and len(cur) % s_multiple == 0
+        ):
             flush()
     flush()
     return plans
@@ -121,11 +139,10 @@ def collate_to_part_batch(
     """
     import jax.numpy as jnp
 
-    S = S or len(samples)
+    S = len(samples) if S is None else S
     assert len(samples) <= S
-    feat_dim = feat_dim or (
-        samples[0].features[0].shape[1] if samples else 32
-    )
+    if feat_dim is None:
+        feat_dim = samples[0].features[0].shape[1] if samples else 32
     G = S * P
     points = np.zeros((G, N, 3), np.float32)
     points_gt = np.zeros((G, N, 3), np.float32)

@@ -160,6 +160,17 @@ class TestPacker:
             assert len(p.indices) >= 1
             assert p.S * p.P * p.N <= 50_000 or len(p.indices) == 1
 
+    def test_over_budget_samples_share_s_slots(self):
+        """Samples whose padded footprint exceeds the budget must fill the
+        s_multiple slots one batch already pays for, not spawn s_multiple
+        singleton batches of the identical compiled shape."""
+        plans = plan_batches(
+            [33] * 8, [4100] * 8, max_points_per_batch=400_000, s_multiple=8
+        )
+        assert len(plans) == 1
+        assert plans[0].S == 8 and len(plans[0].indices) == 8
+        assert plans[0].P == 64 and plans[0].N == 8192
+
     def test_collate_regular_layout(self):
         rng = np.random.default_rng(1)
         samples = [_make_sample(rng, n_parts=2), _make_sample(rng, n_parts=3)]
