@@ -39,6 +39,17 @@ def sample_timesteps(
         u = 1.0 - u - mode_scale * (jnp.cos(math.pi * u / 2.0) ** 2 - 1.0 + u)
     elif scheme == "uniform":
         u = jax.random.uniform(key, (batch_size,))
+    elif scheme == "late_heavy":
+        # TPU-side training-recipe extension (no reference counterpart): mix
+        # 50% u_shaped with 50% U(0.7, 1). The registration-relevant part of
+        # the velocity field lives at t->1 where the pose must be inferred
+        # from the condition (docs/synthetic_training.md bridge-shortcut
+        # analysis); this concentrates training compute there.
+        k_base, k_late, k_pick = jax.random.split(key, 3)
+        z = jax.random.uniform(k_base, (batch_size,)) * 2.0 - 1.0
+        base = (jnp.arcsinh(z * math.sinh(a)) / a + 1.0) / 2.0
+        late = jax.random.uniform(k_late, (batch_size,), minval=0.7, maxval=1.0)
+        u = jnp.where(jax.random.bernoulli(k_pick, 0.5, (batch_size,)), late, base)
     else:
         raise ValueError(f"Invalid timestep sampling scheme: {scheme}")
     return jnp.clip(u, eps, 1.0)

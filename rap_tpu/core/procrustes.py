@@ -47,6 +47,18 @@ def kabsch_masked(
         "...ni,...nj->...ij", src_c, tgt_c, precision=jax.lax.Precision.HIGHEST
     )
 
+    # Degenerate parts produce a rank<=1 H whose SVD has tied (zero) singular
+    # values: the primal is rescued below, but the SVD *vjp* emits NaN even
+    # under a zero cotangent (NaN·0 = NaN), poisoning gradients when Kabsch
+    # sits inside a loss (pose aux loss). Degenerate = fewer than 3 effective
+    # points (rotation underdetermined: 1 point centers to H=0 exactly, 2
+    # points give rank 1) or vanishing ||H|| (empty/all-zero-weight parts).
+    # Substitute the identity pre-SVD so both primal and vjp stay finite.
+    n_eff = jnp.sum(w, axis=-1)
+    degen = (n_eff < 2.5) | (jnp.sum(H * H, axis=(-2, -1)) < 1e-24)
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=H.dtype), H.shape)
+    H = jnp.where(degen[..., None, None], eye3, H)
+
     U, _, Vt = jnp.linalg.svd(H)
     V = jnp.swapaxes(Vt, -1, -2)
     Ut = jnp.swapaxes(U, -1, -2)
@@ -57,16 +69,16 @@ def kabsch_masked(
     )  # (..., 3)
     R = jnp.matmul(V * D[..., None, :], Ut, precision=jax.lax.Precision.HIGHEST)
 
-    # Degenerate parts -> identity rotation. Keyed on the EFFECTIVE weight
-    # (mask * weights): an all-~0-weight part would otherwise divide by the
-    # 1e-12 clamp and feed garbage means into the SVD.
-    empty = jnp.sum(w, axis=-1) < 1e-9
+    # Degenerate parts -> identity rotation; their t = Δcentroid (from R=I
+    # below). Truly EMPTY parts (all-zero effective weight) additionally zero
+    # t — their means divide by the 1e-12 clamp and are meaningless.
     eye = jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
-    R = jnp.where(empty[..., None, None], eye, R)
+    R = jnp.where(degen[..., None, None], eye, R)
 
     t = tgt_mean - jnp.einsum(
         "...ij,...j->...i", R, src_mean, precision=jax.lax.Precision.HIGHEST
     )
+    empty = n_eff < 1e-9
     t = jnp.where(empty[..., None], 0.0, t)
     return R, t
 

@@ -158,7 +158,16 @@ def augment_sample(
             rots[i] = np.eye(3)
             trans[i] = -gt_trans
         else:
-            R_part = _random_rotation(rng) if train else np.eye(3)
+            # per-part rotation follows the SAME regime as the global one:
+            # the reference applies rotate_pcd_yaw to each part when
+            # yaw_augmentation is set (ref dataset.py:808-809) — yaw-only
+            # with small roll/pitch, NOT full SO(3)
+            if not train:
+                R_part = np.eye(3)
+            elif yaw_augmentation:
+                R_part = _random_yaw_rotation(rng, roll_pitch_range)
+            else:
+                R_part = _random_rotation(rng)
             cond = (gt_i - center) @ R_part.T
             # pose invariant cond @ R^T + t == gt:
             # cond = (gt - c) @ R_part^T  =>  gt = cond @ R_part + c, so
@@ -211,6 +220,12 @@ class DatasetConfig:
     random_scale_range: tuple[float, float] | None = None
     overlap_threshold: float = 0.0
     seed: int = 0
+    # force train-style random rotations on a val/test split (deterministic
+    # per-index seeds). The reference evaluates with identity augmentation
+    # (dataset.py:770-773 train-only rotations); this extension exists so a
+    # model's rotation robustness can be measured honestly on held-out data
+    # instead of only under the identity-pose protocol.
+    augment_eval: bool = False
 
 
 class PointCloudDataset:
@@ -355,10 +370,12 @@ class PointCloudDataset:
             and len(kept) > cfg.limit_val_samples
             and cfg.split.startswith("val")
         ):
+            # stride for spread, then truncate: len(kept[::step]) can exceed
+            # the limit (e.g. 10 of 7 wanted from 70), so cap it explicitly
             step = len(kept) // cfg.limit_val_samples
-            kept = kept[::step]
-            counts = counts[::step]
-            npts = npts[::step]
+            kept = kept[::step][: cfg.limit_val_samples]
+            counts = counts[::step][: cfg.limit_val_samples]
+            npts = npts[::step][: cfg.limit_val_samples]
         return kept, counts, npts
 
     def __len__(self) -> int:
@@ -420,7 +437,7 @@ class PointCloudDataset:
             parts_gt=parts_gt,
             features=feats,
             rng=rng,
-            train=self.cfg.split.startswith("train"),
+            train=self.cfg.split.startswith("train") or self.cfg.augment_eval,
             yaw_augmentation=self.cfg.yaw_augmentation,
             roll_pitch_range=self.cfg.roll_pitch_range,
             random_scale_range=self.cfg.random_scale_range,

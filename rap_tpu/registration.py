@@ -42,6 +42,13 @@ class RPFConfig:
     n_generations: int = 1
     rigidity_forcing: bool = True
     return_end_point_trajectory: bool = True
+    # TPU-side training extension (no reference counterpart): auxiliary
+    # Kabsch pose loss on the implied endpoint x0_hat = x_t - t*v_pred.
+    # Pointwise velocity MSE buries the pose signal at t->1 (a blurry
+    # posterior-mean prediction has low MSE but a meaningless pose); fitting
+    # the per-part rigid pose of x0_hat and penalizing its rotation/translation
+    # error supervises exactly the quantity the evaluator scores. 0 = off.
+    pose_loss_weight: float = 0.0
 
 
 def parts_per_sample(batch: PartBatch) -> int:
@@ -87,6 +94,24 @@ def training_forward(
     loss = flow.velocity_loss(v_pred, v_t, batch.point_mask, cfg.loss_type)
     n_pred, n_t = flow.velocity_norms(v_pred, v_t, batch.point_mask)
     metrics = {"loss": loss, "norm_v_pred": n_pred, "norm_v_t": n_t}
+    if cfg.pose_loss_weight > 0.0:
+        # pose of the implied endpoint: fit condition -> x0_hat per part and
+        # compare against the GT pose labels (1-cos geodesic + squared
+        # translation error, masked over valid parts)
+        x0_hat = x_t - t_point * v_pred.astype(x_t.dtype)
+        R_hat, t_hat = procrustes.fit_transformations(
+            batch.points, x0_hat, batch.point_mask
+        )
+        tr = jnp.einsum("gij,gij->g", R_hat, batch.rotations_gt)
+        rot_l = 1.0 - jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+        trans_l = jnp.sum((t_hat - batch.translations_gt) ** 2, axis=-1)
+        pw = (
+            batch.part_valid & batch.per_sample_to_part(batch.sample_valid)
+        ).astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(pw), 1.0)
+        pose_loss = jnp.sum((rot_l + trans_l) * pw) / denom
+        loss = loss + cfg.pose_loss_weight * pose_loss
+        metrics["pose_loss"] = pose_loss
     # t-binned loss: the shortcut-learning signature lives at t->1 (the pose
     # must come from the condition there; docs/synthetic_training.md) — log
     # it so training health is observable without a separate probe

@@ -1,10 +1,17 @@
 """Train a registration model from scratch on procedural scenes (real TPU).
 
 End-to-end demonstration that the full stack learns: generate structured
-multi-view scenes -> train a 6-layer DiT with the Pallas attention kernels
+multi-view scenes -> train a DiT with the Pallas attention kernels
 (fwd+bwd) -> evaluate registration recall on held-out scenes with the full
 ODE sampler + Kabsch + metric suite. Writes an orbax checkpoint and a JSON
 summary.
+
+Round-2 capability levers (docs/synthetic_training.md):
+  --yaw-aug        yaw-only per-part/global rotations (the reference's
+                   DEFAULT augmentation regime, ref dataset.py:321,808-809)
+  --t-scheme late_heavy   concentrate timestep sampling at t->1
+  --pose-loss-weight      auxiliary Kabsch pose loss (registration.py)
+  --eval-rotated   additionally score the yaw-rotated val protocol
 
 Usage: timeout 5400 python scripts/train_synthetic_demo.py \
            [--steps 4000] [--scenes 400] [--out demo_run]
@@ -34,14 +41,40 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--scenes", type=int, default=400)
     ap.add_argument("--points-per-view", type=int, default=2048)
+    ap.add_argument("--views", type=int, default=2)
     ap.add_argument("--overlap", default="medium", choices=["medium", "high"],
                     help="view overlap regime: 'high' crops ~90%%-overlapping "
                          "views (easy correspondence), 'medium' the default")
     ap.add_argument("--out", default="demo_run")
+    ap.add_argument("--data-root", default="",
+                    help="shared dataset dir (default <out>/data); lets "
+                         "ablation arms train on identical scenes")
     ap.add_argument("--layers", type=int, default=6)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--batch-tokens", type=int, default=32_768)
+    ap.add_argument("--t-scheme", default="u_shaped",
+                    choices=["u_shaped", "logit_normal", "mode", "uniform",
+                             "late_heavy"])
+    ap.add_argument("--pose-loss-weight", type=float, default=0.0)
+    ap.add_argument("--yaw-aug", action="store_true",
+                    help="yaw-only rotations with 5 deg roll/pitch (the "
+                         "reference default augmentation regime)")
+    ap.add_argument("--features", default="geometric",
+                    choices=["geometric", "zero"],
+                    help="condition descriptors (geometric = eigenvalue/"
+                         "curvature local features)")
+    ap.add_argument("--save-every", type=int, default=0,
+                    help="checkpoint every N steps (0 = only at the end)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from <out>/ckpts/last if present")
     ap.add_argument("--eval-only", default="", help="checkpoint dir to eval")
     ap.add_argument("--eval-splits", default="val",
                     help="comma-separated splits to evaluate (train,val)")
+    ap.add_argument("--eval-rotated", action="store_true",
+                    help="also evaluate val under train-style yaw rotations "
+                         "(augment_eval protocol)")
+    ap.add_argument("--eval-steps", type=int, default=10,
+                    help="ODE steps at eval")
     args = ap.parse_args(argv)
 
     from rap_tpu.data import BatchLoader, DatasetConfig, LoaderConfig, PointCloudDataset
@@ -58,19 +91,21 @@ def main(argv=None):
     from rap_tpu.train.tracking import ExperimentTracker
 
     out = Path(args.out)
-    data_root = out / "data"
+    data_root = Path(args.data_root) if args.data_root else out / "data"
     gen_params = {
         "scenes": args.scenes,
         "points_per_view": args.points_per_view,
         "overlap": args.overlap,
+        "views": args.views,
     }
     params_file = data_root / "generation_params.json"
     if not (data_root / "data_split" / "train.txt").exists():
         logger.info("generating %d scenes ...", args.scenes)
         names = generate_dataset(
-            data_root, n_scenes=args.scenes,
+            data_root, n_scenes=args.scenes, n_views=args.views,
             max_points_per_view=args.points_per_view,
             keep_radius_frac=(0.9, 0.98) if args.overlap == "high" else (0.55, 0.8),
+            features=args.features != "zero",
         )
         params_file.write_text(json.dumps(gen_params))
         logger.info("wrote %d samples", len(names))
@@ -89,10 +124,13 @@ def main(argv=None):
 
     model = DiTConfig(num_layers=args.layers)   # 512-dim, 8 heads, bf16
     pipe = RPFConfig(
-        model=model, inference_sampling_steps=10, rigidity_forcing=True,
+        model=model, inference_sampling_steps=args.eval_steps,
+        rigidity_forcing=True, timestep_sampling=args.t_scheme,
+        pose_loss_weight=args.pose_loss_weight,
     )
     ds_kw = dict(data_path=str(data_root), dataset_name="synth",
-                 load_features=True)
+                 load_features=args.features != "zero",
+                 yaw_augmentation=args.yaw_aug)
     train_ds = PointCloudDataset(DatasetConfig(split="train", **ds_kw))
     val_ds = PointCloudDataset(DatasetConfig(split="val", **ds_kw))
     logger.info("train %d samples, val %d", len(train_ds), len(val_ds))
@@ -104,35 +142,45 @@ def main(argv=None):
 
     params = init_dit_params(jax.random.key(0), model)
     tx = build_optimizer(
-        OptimizerConfig(name="muon", lr=3e-4, grad_clip=0.5),
+        OptimizerConfig(name="muon", lr=args.lr, grad_clip=0.5),
         steps_per_epoch=max(len(train_ds) // 8, 1),
     )
     state = TrainState.create(params, tx, jax.random.key(1))
     logger.info("model: %.1fM params", param_count(params) / 1e6)
 
     if not args.eval_only:
+        total = 0
+        last_dir = out / "ckpts" / "last"
+        if args.resume and (last_dir / "rap_metadata.json").exists():
+            state = restore_checkpoint(last_dir, state)
+            total = int(np.asarray(state.step))
+            logger.info("resumed at step %d", total)
         loader = BatchLoader(
             [train_ds],
-            LoaderConfig(max_points_per_batch=32_768, shuffle=True, prefetch=4),
+            LoaderConfig(max_points_per_batch=args.batch_tokens, shuffle=True,
+                         prefetch=4),
         )
         step_fn = make_train_step(pipe, tx, remat=True)
         tracker = ExperimentTracker(out / "ckpts", config=None, use_wandb=False,
                                     snapshot=False)
-        total, epoch = 0, 0
+        epoch = 0
         t_start = time.time()
+        done_at_start = total
         while total < args.steps:
             for batch, names, _ in loader.epoch(epoch):
                 state, metrics = step_fn(state, batch)
                 total += 1
                 if total % 100 == 0:
                     tracker.log(total, metrics)
+                if args.save_every and total % args.save_every == 0:
+                    save_checkpoint(last_dir, state, {"steps": total})
                 if total >= args.steps:
                     break
             epoch += 1
         jax.block_until_ready(state.params)
         dt = time.time() - t_start
         logger.info("trained %d steps in %.0fs (%.2f steps/s)",
-                    total, dt, total / dt)
+                    total - done_at_start, dt, (total - done_at_start) / max(dt, 1e-9))
         save_checkpoint(out / "ckpts" / "final", state, {"steps": total})
         tracker.finish()
     else:
@@ -147,12 +195,11 @@ def main(argv=None):
         R, t = predict_poses(batch, o["points"])
         return o["points"], R, t
 
-    summary = {"steps": args.steps if not args.eval_only else "eval-only"}
-    for split in args.eval_splits.split(","):
-        ds = train_ds if split == "train" else val_ds
+    def run_eval(ds, tag):
         meter = MetricsMeter()
         loader = BatchLoader(
-            [ds], LoaderConfig(max_points_per_batch=32_768, shuffle=False)
+            [ds], LoaderConfig(max_points_per_batch=args.batch_tokens,
+                               shuffle=False)
         )
         for b_idx, (batch, names, ds_name) in enumerate(loader.epoch(0)):
             pts, R, t = generate(state.params, batch, jax.random.key(100 + b_idx))
@@ -161,10 +208,22 @@ def main(argv=None):
             nparts = np.asarray(batch.part_valid).reshape(batch.S, -1).sum(1)
             meter.add_metrics(ds_name, md, valid, nparts)
         results = meter.compute_average()
-        print_eval_table({f"{split} scenes": results})
-        summary[split] = {
-            k: float(v) for k, v in results.get("synth", {}).items()
-        }
+        print_eval_table({tag: results})
+        return {k: float(v) for k, v in results.get("synth", {}).items()}
+
+    summary = {
+        "steps": args.steps if not args.eval_only else "eval-only",
+        "config": {k: v for k, v in vars(args).items()
+                   if k not in ("out", "eval_only")},
+    }
+    for split in args.eval_splits.split(","):
+        ds = train_ds if split == "train" else val_ds
+        summary[split] = run_eval(ds, f"{split} scenes")
+    if args.eval_rotated:
+        rot_ds = PointCloudDataset(
+            DatasetConfig(split="val", augment_eval=True, **ds_kw)
+        )
+        summary["val_rotated"] = run_eval(rot_ds, "val scenes (rotated)")
     (out / "summary.json").write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary))
 

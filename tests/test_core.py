@@ -85,6 +85,16 @@ class TestFlow:
         assert float(t.min()) >= 0.01 - 1e-6
         assert float(t.max()) <= 1.0 + 1e-6
 
+    def test_late_heavy_concentrates_near_one(self):
+        t = np.asarray(
+            flow.sample_timesteps(jax.random.key(2), 100_000, "late_heavy")
+        )
+        assert t.min() >= 0.01 - 1e-6 and t.max() <= 1.0 + 1e-6
+        # ~50% uniform mass on [0.7, 1) plus the u_shaped tail => well over
+        # half the samples land late; the early tail must remain covered
+        assert (t >= 0.7).mean() > 0.55
+        assert (t < 0.3).mean() > 0.10
+
     def test_u_shaped_is_symmetric(self):
         t = np.asarray(flow.sample_timesteps(jax.random.key(1), 100_000, "u_shaped"))
         assert abs(t.mean() - 0.5) < 0.01

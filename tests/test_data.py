@@ -67,6 +67,30 @@ class TestAugmentation:
         Rg = s.global_rotation
         np.testing.assert_allclose(Rg[2, 2], 1.0, atol=1e-6)
 
+    def test_yaw_augmentation_applies_per_part(self):
+        """Per-part rotations follow the yaw regime too (ref dataset.py:808-809
+        uses rotate_pcd_yaw for each part when yaw_augmentation is set)."""
+        rng = np.random.default_rng(5)
+        for _ in range(5):
+            s = _make_sample(
+                rng, train=True, yaw_augmentation=True, roll_pitch_range=0.0
+            )
+            for p in range(s.num_parts):
+                # pure-yaw rotation matrices fix e_z exactly
+                np.testing.assert_allclose(s.rotations[p][2, 2], 1.0, atol=1e-6)
+
+    def test_full_so3_per_part_without_yaw_flag(self):
+        """Without yaw_augmentation, per-part rotations cover full SO(3)
+        (ref transform.py rotate_pcd): at least one draw must tilt z."""
+        rng = np.random.default_rng(6)
+        tilts = []
+        for _ in range(8):
+            s = _make_sample(rng, train=True)
+            for p in range(s.num_parts):
+                if p != s.anchor_idx:
+                    tilts.append(abs(s.rotations[p][2, 2] - 1.0))
+        assert max(tilts) > 0.1
+
 
 def _write_folder_dataset(root, rng, frags=3, parts=2):
     (root / "data_split").mkdir(parents=True)

@@ -51,6 +51,36 @@ def test_overfit_one_batch_loss_collapses():
     )
 
 
+def test_pose_loss_is_finite_and_differentiable():
+    """pose_loss_weight>0 routes gradients through the batched Kabsch SVD;
+    loss, pose_loss metric, and every gradient leaf must stay finite."""
+    from rap_tpu.registration import training_forward
+
+    model = DiTConfig(
+        num_layers=1, embed_dim=32, num_heads=2, local_feat_dim=8,
+        compute_dtype=jnp.float32,
+    )
+    cfg = RPFConfig(model=model, timestep_sampling="late_heavy",
+                    pose_loss_weight=0.1)
+    batch = make_regular_synthetic_batch(
+        jax.random.key(0), [[32, 24], [32]], N=32, P=2, S=2, feat_dim=8
+    )
+    params = init_dit_params(jax.random.key(1), model)
+
+    def loss_fn(p):
+        loss, metrics = training_forward(p, cfg, batch, jax.random.key(3),
+                                         remat=False)
+        return loss, metrics
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert "pose_loss" in metrics and np.isfinite(float(metrics["pose_loss"]))
+    # random init => poses are wrong => the aux term must be active
+    assert float(metrics["pose_loss"]) > 1e-4
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 @pytest.mark.slow
 def test_trained_model_improves_registration():
     """After real (varied-noise) training on one batch, generation + Kabsch
