@@ -31,6 +31,7 @@ import time
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import load_config
@@ -241,30 +242,48 @@ def run_demo(args) -> int:
             len(jax.devices()),
         )
 
+    from ..eval import metrics as M
+
     @jax.jit
-    def generate(params, batch, key):
-        out = sample(
-            params, cfg.pipeline, batch, key, return_trajectory=False,
-            ring_mesh=ring_mesh,
-        )
-        R, t = predict_poses(batch, out["points"])
-        return out["points"], R, t
+    def generate_best(params, batch, keys):
+        """All generations + rigidity-RMSE selection on-device (ref
+        rigidity-selected): one lax.scan keeps memory at a single
+        generation and avoids a host round-trip per generation."""
+
+        def gen_one(key):
+            out = sample(
+                params, cfg.pipeline, batch, key, return_trajectory=False,
+                ring_mesh=ring_mesh,
+            )
+            R, t = predict_poses(batch, out["points"])
+            rig = M.rigidity_rmse(batch, out["points"], R, t)[0]
+            return out["points"], R, t, rig
+
+        pts0, R0, t0, rig0 = gen_one(keys[0])
+
+        def body(best, key):
+            pts, R, t, rig = gen_one(key)
+            better = rig < best[3]
+            pick = lambda a, b: jnp.where(better, a, b)  # noqa: E731
+            return (
+                pick(pts, best[0]), pick(R, best[1]), pick(t, best[2]),
+                pick(rig, best[3]),
+            ), rig
+        best, rigs = jax.lax.scan(body, (pts0, R0, t0, rig0), keys[1:])
+        return best, jnp.concatenate([rig0[None], rigs])
 
     logger.info("registering (%d steps, %d generation(s))...", args.num_steps, args.n_generations)
     t0 = time.time()
-    best = None
-    for g in range(args.n_generations):
-        pts, R, t = generate(params, batch, jax.random.key(args.seed + g))
-        jax.block_until_ready(pts)
-        # rigidity RMSE selection across generations (ref rigidity-selected)
-        from ..eval import metrics as M
-
-        rig = float(M.rigidity_rmse(batch, pts, R, t)[0])
-        logger.info("generation %d: rigidity RMSE %.4f m", g, rig)
-        if best is None or rig < best[0]:
-            best = (rig, np.asarray(pts), np.asarray(R), np.asarray(t))
+    keys = jnp.stack(
+        [jax.random.key(args.seed + g) for g in range(args.n_generations)]
+    )
+    (pts, R_all, t_all, _), rigs = jax.block_until_ready(
+        generate_best(params, batch, keys)
+    )
+    for g, rig in enumerate(np.asarray(rigs)):
+        logger.info("generation %d: rigidity RMSE %.4f m", g, float(rig))
     logger.info("registration: %.1fs", time.time() - t0)
-    _, pts, R_all, t_all = best
+    pts, R_all, t_all = np.asarray(pts), np.asarray(R_all), np.asarray(t_all)
 
     # --- apply poses to original clouds, re-based to part 0 ----------------
     n_parts = smp.num_parts

@@ -156,6 +156,20 @@ def run_train(cfg: Config, max_steps: int | None = None) -> TrainState:
         if "monitor" in best_meta:
             best_monitor = float(best_meta["monitor"])
             logger.info("resumed best %s=%.4f", cfg.trainer.monitor, best_monitor)
+    if jax.process_count() > 1:
+        # only process 0 writes rap_metadata.json; on a non-shared checkpoint
+        # filesystem other processes would read {} and keep inf, making the
+        # `mon < best_monitor` branch diverge across processes and deadlock
+        # the collective save_checkpoint — broadcast process 0's value
+        from jax.experimental import multihost_utils
+
+        best_monitor = float(
+            np.asarray(
+                multihost_utils.broadcast_one_to_all(
+                    np.asarray(best_monitor, np.float32)
+                )
+            )
+        )
     total_steps = 0
     for epoch in range(start_epoch, cfg.trainer.max_epochs):
         t0 = time.time()

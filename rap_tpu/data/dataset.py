@@ -66,6 +66,13 @@ class Sample:
     # the reference's sample dict (ref dataset.py:656,671; never consumed by
     # the released runtime — reserved for overlap-probability models)
     overlap_threshold: float = 0.0
+    # surface normals, rotated alongside the coordinates through the full
+    # augmentation (ref dataset.py:746-800 pointclouds_normals[_gt]); None
+    # when the source dataset carries no normals. Unit vectors: rotation
+    # applies, centering/scale do not. Not consumed by the model — storage
+    # parity for datasets that have them (ref io_utils.py:601-919).
+    normals: list[np.ndarray] | None = None     # per part (Ni, 3) — condition frame
+    normals_gt: list[np.ndarray] | None = None  # per part (Ni, 3) — GT frame
 
     @property
     def num_parts(self) -> int:
@@ -105,6 +112,7 @@ def augment_sample(
     features: list[np.ndarray] | None,
     rng: np.random.Generator,
     train: bool,
+    normals: list[np.ndarray] | None = None,
     yaw_augmentation: bool = False,
     roll_pitch_range: float = 5.0,
     random_scale_range: tuple[float, float] | None = None,
@@ -142,9 +150,18 @@ def augment_sample(
     gt_trans = np.concatenate(gt_parts).mean(0)
     gt_parts = [p - gt_trans for p in gt_parts]
 
+    # normals ride the same rotations as the coordinates (ref
+    # dataset.py:770-809 passes normals through rotate_pcd[_yaw]); scale and
+    # centering leave unit vectors untouched
+    gt_normals = (
+        None if normals is None else [np.asarray(n) @ R_fwd.T for n in normals]
+    )
+
     out_pts: list[np.ndarray] = []
     out_gt: list[np.ndarray] = []
     out_feats: list[np.ndarray] = []
+    out_nrm: list[np.ndarray] = []
+    out_nrm_gt: list[np.ndarray] = []
     rots = np.zeros((n_parts, 3, 3), np.float32)
     trans = np.zeros((n_parts, 3), np.float32)
     for i in range(n_parts):
@@ -177,6 +194,13 @@ def augment_sample(
         order = rng.permutation(len(gt_i))
         out_pts.append(cond[order].astype(np.float32))
         out_gt.append(gt_i[order].astype(np.float32))
+        if gt_normals is not None:
+            n_gt_i = gt_normals[i]
+            # condition-frame normals obey the pose invariant
+            # normals @ R^T == normals_gt, i.e. n_cond = n_gt @ R
+            n_cond = n_gt_i @ rots[i]
+            out_nrm.append(n_cond[order].astype(np.float32))
+            out_nrm_gt.append(n_gt_i[order].astype(np.float32))
         if features is not None and features[i] is not None:
             out_feats.append(np.asarray(features[i])[order].astype(np.float32))
         else:
@@ -196,6 +220,8 @@ def augment_sample(
         global_rotation=rot_global.astype(np.float32),
         global_translation=tran_global.astype(np.float32),
         overlap_threshold=overlap_threshold,
+        normals=out_nrm if gt_normals is not None else None,
+        normals_gt=out_nrm_gt if gt_normals is not None else None,
     )
 
 
@@ -385,13 +411,13 @@ class PointCloudDataset:
     def _load_parts(self, frag: str):
         from ..utils import ply as plyio
 
-        parts_gt, feats = [], []
+        parts_gt, feats, normals = [], [], []
         if self.use_folder:
             folder = os.path.join(self.data_path, frag)
             for ply_path in sorted(glob.glob(os.path.join(folder, "*.ply"))):
-                parts_gt.append(
-                    plyio.read_ply_points(ply_path).astype(np.float64)
-                )
+                data = plyio.read_ply(ply_path, read_faces=False)
+                parts_gt.append(data["points"].astype(np.float64))
+                normals.append(data.get("normals"))
                 stem = os.path.splitext(os.path.basename(ply_path))[0]
                 fpath = os.path.join(folder, f"features_{stem}.npy")
                 feats.append(np.load(fpath) if os.path.exists(fpath) else None)
@@ -400,9 +426,16 @@ class PointCloudDataset:
             for part in sorted(group.keys()):
                 sub = group[part]
                 parts_gt.append(np.asarray(sub["vertices"][:], np.float64))
+                normals.append(
+                    np.asarray(sub["normals"][:]) if "normals" in sub else None
+                )
                 feats.append(
                     np.asarray(sub["features"][:]) if "features" in sub else None
                 )
+        # normals are all-or-nothing per sample (ref io_utils.py:601-919
+        # writes them per part when present)
+        if any(n is None for n in normals):
+            normals = None
         if not self.cfg.load_features or any(f is None for f in feats):
             feats = None
         # drop under-populated parts (ref dataset.py:307 min_points_per_part):
@@ -422,11 +455,13 @@ class PointCloudDataset:
                     parts_gt = [parts_gt[i] for i in keep]
                     if feats is not None:
                         feats = [feats[i] for i in keep]
-        return parts_gt, feats
+                    if normals is not None:
+                        normals = [normals[i] for i in keep]
+        return parts_gt, feats, normals
 
     def get(self, index: int, epoch: int = 0) -> Sample:
         frag = self.fragments[index]
-        parts_gt, feats = self._load_parts(frag)
+        parts_gt, feats, normals = self._load_parts(frag)
         rng = np.random.default_rng(
             np.random.SeedSequence([self.cfg.seed, epoch, index])
         )
@@ -436,6 +471,7 @@ class PointCloudDataset:
             index=index,
             parts_gt=parts_gt,
             features=feats,
+            normals=normals,
             rng=rng,
             train=self.cfg.split.startswith("train") or self.cfg.augment_eval,
             yaw_augmentation=self.cfg.yaw_augmentation,

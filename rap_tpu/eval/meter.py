@@ -20,6 +20,24 @@ from collections import defaultdict
 import numpy as np
 
 
+def _encode_metric_keys(keys: list[str], n_max: int, klen: int) -> np.ndarray:
+    """Encode metric-key strings into fixed-width uint8 rows for the
+    cross-host gather. A key longer than ``klen`` would silently merge/rename
+    with others after the union rebuild, corrupting aggregates — fail loudly
+    instead (the longest shipped key is 60 bytes at klen=64)."""
+    names = np.zeros((n_max, klen), np.uint8)
+    for j, k in enumerate(keys):
+        b = k.encode()
+        if len(b) > klen:
+            raise ValueError(
+                f"metric key {k!r} is {len(b)} bytes; the cross-host reduce "
+                f"encodes keys into {klen}-byte rows — shorten the key or "
+                "raise KLEN on every host"
+            )
+        names[j, : len(b)] = np.frombuffer(b, np.uint8)
+    return names
+
+
 class MetricsMeter:
     def __init__(self):
         self._sums: dict[str, dict[str, float]] = defaultdict(lambda: defaultdict(float))
@@ -116,10 +134,7 @@ class MetricsMeter:
         if n_max == 0:
             return
 
-        names = np.zeros((n_max, KLEN), np.uint8)
-        for j, k in enumerate(keys):
-            b = k.encode()[:KLEN]
-            names[j, : len(b)] = np.frombuffer(b, np.uint8)
+        names = _encode_metric_keys(keys, n_max, KLEN)
         # float64 sums cross the (x64-disabled) gather as (hi, lo) float32
         # pairs — hi = f32(x), lo = f32(x - hi) — and counts as exact int32;
         # summation happens in float64 on the host (reference gathers float64

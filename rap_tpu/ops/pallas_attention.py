@@ -580,6 +580,15 @@ def flash_attention(
     no mask plumbing, ~25% faster — see module docstring). ``logit_bound``
     optionally supplies an upper bound on the UNSCALED logits max|q·k| (e.g.
     derived from qk-norm gammas); otherwise it is computed from row norms.
+
+    CONTRACT for the no-mask fallback bound (no softcap, no logit_bound): the
+    bound is one global max-row-norm product, so a query row whose logits all
+    sit >126 base-2 units below it underflows exp2 entirely and emits a zero
+    output row (guarded against NaN, not against the zeros). That spread
+    requires a ~2^63 ratio in row norms — impossible under qk-norm (the model
+    path always passes an explicit bound) and absurd for real features, but
+    callers feeding unnormalized embeddings with wildly varying magnitudes
+    should pass ``logit_bound`` or a ``kv_mask``.
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])

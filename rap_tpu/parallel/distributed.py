@@ -47,15 +47,21 @@ def initialize(
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
     # cluster hints under which jax.distributed's own auto-detection works
-    # without explicit coordinates (TPU pod metadata, SLURM, OpenMPI)
-    auto_detectable = any(
-        k in os.environ
-        for k in (
-            "TPU_WORKER_HOSTNAMES",
-            "MEGASCALE_COORDINATOR_ADDRESS",
-            "SLURM_JOB_ID",
-            "OMPI_COMM_WORLD_SIZE",
-        )
+    # without explicit coordinates (TPU pod metadata, SLURM, OpenMPI).
+    # SLURM/OpenMPI must advertise MORE THAN ONE task: in a single-task
+    # allocation initialize() would block at the coordinator barrier waiting
+    # for peers that never come (a hang, not a catchable error).
+    def _env_gt1(var: str) -> bool:
+        try:
+            return int(os.environ.get(var, "1")) > 1
+        except ValueError:
+            return False
+
+    auto_detectable = (
+        "TPU_WORKER_HOSTNAMES" in os.environ
+        or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
+        or ("SLURM_JOB_ID" in os.environ and _env_gt1("SLURM_NTASKS"))
+        or _env_gt1("OMPI_COMM_WORLD_SIZE")
     )
     if coordinator_address or num_processes or auto_detectable:
         try:

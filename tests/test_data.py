@@ -79,6 +79,33 @@ class TestAugmentation:
                 # pure-yaw rotation matrices fix e_z exactly
                 np.testing.assert_allclose(s.rotations[p][2, 2], 1.0, atol=1e-6)
 
+    def test_normals_ride_the_augmentation(self):
+        """Normals rotate with their parts (ref dataset.py:770-809): the pose
+        invariant normals @ R^T == normals_gt holds, norms are preserved, and
+        the shuffle keeps point/normal pairing."""
+        rng = np.random.default_rng(7)
+        parts = [rng.standard_normal((80 + 10 * i, 3)) * 2.0 for i in range(3)]
+        normals = []
+        for p in parts:
+            n = rng.standard_normal(p.shape)
+            normals.append(n / np.linalg.norm(n, axis=1, keepdims=True))
+        s = augment_sample(
+            "frag", "ds", 0, parts, None, rng, train=True, normals=normals,
+            feat_dim=8,
+        )
+        assert s.normals is not None and s.normals_gt is not None
+        for p in range(s.num_parts):
+            rec = s.normals[p] @ s.rotations[p].T
+            np.testing.assert_allclose(rec, s.normals_gt[p], atol=1e-5)
+            np.testing.assert_allclose(
+                np.linalg.norm(s.normals[p], axis=1), 1.0, atol=1e-5
+            )
+
+    def test_no_normals_gives_none(self):
+        rng = np.random.default_rng(8)
+        s = _make_sample(rng)
+        assert s.normals is None and s.normals_gt is None
+
     def test_full_so3_per_part_without_yaw_flag(self):
         """Without yaw_augmentation, per-part rotations cover full SO(3)
         (ref transform.py rotate_pcd): at least one draw must tilt z."""
@@ -145,6 +172,67 @@ class TestFolderDataset:
             DatasetConfig(data_path=str(tmp_path), split="train", min_parts=3)
         )
         assert len(ds) == 0
+
+
+class TestNormalsRoundtrip:
+    def test_folder_ply_normals_reach_sample(self, tmp_path):
+        """save (PLY with normals) -> dataset load -> augmented Sample carries
+        rotated normals (ref dataset.py:746-800, io_utils.py:601-919)."""
+        rng = np.random.default_rng(9)
+        (tmp_path / "data_split").mkdir()
+        d = tmp_path / "frag_0"
+        d.mkdir()
+        raw_normals = []
+        for p in range(2):
+            pts = rng.standard_normal((60, 3)).astype(np.float32)
+            n = rng.standard_normal((60, 3))
+            n /= np.linalg.norm(n, axis=1, keepdims=True)
+            raw_normals.append(n.astype(np.float32))
+            plyio.write_ply(d / f"part_{p}.ply", pts, normals=n)
+        (tmp_path / "data_split" / "train.txt").write_text("frag_0\n")
+        (tmp_path / "data_split" / "val.txt").write_text("frag_0\n")
+        ds = PointCloudDataset(
+            DatasetConfig(data_path=str(tmp_path), split="train",
+                          load_features=False)
+        )
+        s = ds.get(0)
+        assert s.normals is not None
+        for p in range(2):
+            rec = s.normals[p] @ s.rotations[p].T
+            np.testing.assert_allclose(rec, s.normals_gt[p], atol=1e-5)
+            # GT normals are the raw normals under the global rotation only
+            # (same row order modulo the shuffle): norms survive exactly
+            np.testing.assert_allclose(
+                np.sort(np.linalg.norm(s.normals_gt[p], axis=1)),
+                np.sort(np.linalg.norm(raw_normals[p], axis=1)),
+                atol=1e-5,
+            )
+
+    def test_h5_normals_reach_sample(self, tmp_path):
+        import h5py
+
+        rng = np.random.default_rng(10)
+        path = tmp_path / "toy.hdf5"
+        with h5py.File(path, "w") as h5:
+            g = h5.create_group("scene_0")
+            for p in range(2):
+                gp = g.create_group(f"part_{p}")
+                gp["vertices"] = rng.standard_normal((50, 3)).astype(np.float32)
+                n = rng.standard_normal((50, 3)).astype(np.float32)
+                gp["normals"] = n / np.linalg.norm(n, axis=1, keepdims=True)
+            sp = h5.create_group("data_split").create_group("toy")
+            sp["train"] = np.array([b"scene_0"])
+            sp["val"] = np.array([b"scene_0"])
+        ds = PointCloudDataset(
+            DatasetConfig(data_path=str(path), dataset_name="toy",
+                          split="train", load_features=False)
+        )
+        s = ds.get(0)
+        assert s.normals is not None and len(s.normals) == 2
+        for p in range(2):
+            rec = s.normals[p] @ s.rotations[p].T
+            np.testing.assert_allclose(rec, s.normals_gt[p], atol=1e-5)
+        ds.close()
 
 
 class TestH5Dataset:

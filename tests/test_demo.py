@@ -169,6 +169,33 @@ class TestDemoCLI:
         reg = plyio.read_ply(out / "registered" / "a.ply")["points"]
         assert reg.shape == (300, 3)
 
+    def test_multi_generation_selection_on_device(self, tmp_path):
+        """n_generations>1 exercises the scanned on-device rigidity-RMSE
+        selection (no per-generation host round trip)."""
+        rng = np.random.default_rng(3)
+        scene = rng.uniform(0, 2, (300, 3)).astype(np.float32)
+        in_dir = tmp_path / "views"
+        in_dir.mkdir()
+        plyio.write_ply(in_dir / "a.ply", scene[:220])
+        plyio.write_ply(in_dir / "b.ply", scene[80:])
+
+        from rap_tpu.apps.demo import main
+
+        rc = main([
+            "-i", str(in_dir),
+            "-out", str(tmp_path / "out"),
+            "--num-steps", "2",
+            "--n-generations", "3",
+            "--max-points-per-part", "192",
+            "-o", "model.num_layers=1",
+            "-o", "model.embed_dim=64",
+            "-o", "model.num_heads=4",
+            "-o", "model.compute_dtype=float32",
+        ])
+        assert rc == 0
+        T = np.loadtxt(tmp_path / "out" / "part1_transform.txt")
+        assert T.shape == (4, 4) and np.isfinite(T).all()
+
     def test_output_generated(self, tmp_path):
         rng = np.random.default_rng(1)
         scene = rng.uniform(0, 2, (300, 3)).astype(np.float32)

@@ -386,6 +386,17 @@ class TestEvaluatorAggregation:
         assert meter.get_sample_counts() == {"a": 2, "b": 1}
         assert meter.get_part_count_ranges()["a"] == (2, 3)
 
+    def test_meter_key_encoding_rejects_overlong_keys(self):
+        import pytest
+
+        from rap_tpu.eval.meter import _encode_metric_keys
+
+        enc = _encode_metric_keys(["short_key"], n_max=2, klen=64)
+        assert enc.shape == (2, 64)
+        assert bytes(enc[0][:9]) == b"short_key"
+        with pytest.raises(ValueError, match="64-byte"):
+            _encode_metric_keys(["k" * 65], n_max=1, klen=64)
+
     def test_meter_skips_inf_and_invalid(self):
         meter = MetricsMeter()
         meter.add_metrics(

@@ -81,3 +81,48 @@ def test_two_process_matches_single_process():
     # cross-process collective reduction order differs slightly from the
     # single-controller one — bitwise equality is not expected here
     np.testing.assert_allclose(l0, lref, rtol=2e-4, atol=1e-5)
+
+
+class TestAutoDetectGating:
+    """SLURM/OpenMPI auto-detect must require >1 task: in a single-task
+    allocation jax.distributed.initialize() blocks at the coordinator
+    barrier (a hang, not a catchable error)."""
+
+    def _run(self, monkeypatch, env):
+        import jax
+
+        from rap_tpu.parallel import distributed as D
+
+        for var in ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+                    "SLURM_JOB_ID", "SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE",
+                    "JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                    "JAX_PROCESS_ID"):
+            monkeypatch.delenv(var, raising=False)
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        called = []
+        monkeypatch.setattr(
+            jax.distributed, "initialize",
+            lambda *a, **kw: called.append((a, kw)),
+        )
+        idx, cnt = D.initialize()
+        return called, idx, cnt
+
+    def test_single_task_slurm_does_not_initialize(self, monkeypatch):
+        called, idx, cnt = self._run(
+            monkeypatch, {"SLURM_JOB_ID": "123", "SLURM_NTASKS": "1"}
+        )
+        assert called == []
+        assert (idx, cnt) == (0, 1)
+
+    def test_multi_task_slurm_initializes(self, monkeypatch):
+        called, _, _ = self._run(
+            monkeypatch, {"SLURM_JOB_ID": "123", "SLURM_NTASKS": "4"}
+        )
+        assert len(called) == 1
+
+    def test_single_rank_openmpi_does_not_initialize(self, monkeypatch):
+        called, _, _ = self._run(
+            monkeypatch, {"OMPI_COMM_WORLD_SIZE": "1"}
+        )
+        assert called == []
