@@ -60,9 +60,16 @@ def main(argv=None):
                     help="yaw-only rotations with 5 deg roll/pitch (the "
                          "reference default augmentation regime)")
     ap.add_argument("--features", default="geometric",
-                    choices=["geometric", "zero"],
-                    help="condition descriptors (geometric = eigenvalue/"
-                         "curvature local features)")
+                    choices=["geometric", "zero", "spinnet"],
+                    help="condition descriptors: geometric = eigenvalue/"
+                         "curvature local features; spinnet = MiniSpinNet "
+                         "descriptors (VERDICT item 5 — the reference's "
+                         "conditioning path, extract_sample_features.py:584)")
+    ap.add_argument("--spinnet-checkpoint", default="",
+                    help="torch .pth for spinnet features (random init if "
+                         "empty)")
+    ap.add_argument("--spinnet-des-r", type=float, default=1.0,
+                    help="descriptor radius in scene meters")
     ap.add_argument("--save-every", type=int, default=0,
                     help="checkpoint every N steps (0 = only at the end)")
     ap.add_argument("--resume", action="store_true",
@@ -97,6 +104,7 @@ def main(argv=None):
         "points_per_view": args.points_per_view,
         "overlap": args.overlap,
         "views": args.views,
+        "features": args.features,
     }
     params_file = data_root / "generation_params.json"
     if not (data_root / "data_split" / "train.txt").exists():
@@ -105,8 +113,25 @@ def main(argv=None):
             data_root, n_scenes=args.scenes, n_views=args.views,
             max_points_per_view=args.points_per_view,
             keep_radius_frac=(0.9, 0.98) if args.overlap == "high" else (0.55, 0.8),
-            features=args.features != "zero",
+            features=args.features == "geometric",
         )
+        if args.features == "spinnet":
+            # overwrite the geometric sidecars with MiniSpinNet descriptors:
+            # each view is its own context cloud, every point a keypoint
+            # (the reference conditions the flow on exactly these,
+            # extract_sample_features.py:584-617)
+            from rap_tpu.spinnet import build_feature_extractor
+            from rap_tpu.utils import ply as plyio
+
+            fx = build_feature_extractor(args.spinnet_checkpoint)
+            t_fx = time.time()
+            for name in names:
+                d = data_root / name
+                for ply_path in sorted(d.glob("*.ply")):
+                    pts = plyio.read_ply(ply_path, read_faces=False)["points"]
+                    feats = fx(pts, pts, args.spinnet_des_r)
+                    np.save(d / f"features_{ply_path.stem}.npy", feats)
+            logger.info("spinnet features: %.0fs", time.time() - t_fx)
         params_file.write_text(json.dumps(gen_params))
         logger.info("wrote %d samples", len(names))
     else:

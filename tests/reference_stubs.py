@@ -220,3 +220,46 @@ def import_reference_dit():
     from rectified_point_flow.flow_model.point_cloud_dit import PointCloudDiT
 
     return PointCloudDiT
+
+
+# --------------------------------------------------------------------------
+# pytorch3d.ops.ball_query stub (pure torch) + reference MiniSpinNet import
+# --------------------------------------------------------------------------
+
+def _ball_query(p1, p2, K, radius, return_nn=True):
+    """Faithful pure-torch pytorch3d.ops.ball_query: for each p1 point, the
+    FIRST K points of p2 (in p2 order) within `radius`; idx pads with -1,
+    (squared) dists pad with 0, nn pads with 0.0."""
+    B, P1, _ = p1.shape
+    d2 = torch.cdist(p1.double(), p2.double()).pow(2).to(p1.dtype)
+    within = d2 <= radius * radius
+    idx = torch.full((B, P1, K), -1, dtype=torch.long)
+    dists = torch.zeros((B, P1, K), dtype=p1.dtype)
+    for b in range(B):
+        for q in range(P1):
+            w = torch.nonzero(within[b, q], as_tuple=False).flatten()[:K]
+            idx[b, q, : len(w)] = w
+            dists[b, q, : len(w)] = d2[b, q, w]
+    nn = p2[torch.arange(B)[:, None, None], idx.clamp(min=0)]
+    nn = nn * (idx >= 0).unsqueeze(-1).to(p2.dtype)
+    if return_nn:
+        return dists, idx, nn
+    return dists, idx
+
+
+def install_pytorch3d_stub() -> None:
+    if not _importable("pytorch3d"):
+        _stub_package("pytorch3d")
+        _stub_package("pytorch3d.ops", ball_query=_ball_query)
+
+
+def import_reference_spinnet():
+    """Returns the reference spinnet package (patch_embedder/patchnet/utils)
+    as top-level module 'spinnet', with a pure-torch ball_query stub."""
+    install_pytorch3d_stub()
+    path = "/root/reference/dataset_process/utils"
+    if path not in sys.path:
+        sys.path.insert(0, path)
+    import spinnet as ref_spinnet
+
+    return ref_spinnet

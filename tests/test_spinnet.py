@@ -1,6 +1,7 @@
 """MiniSpinNet tests: shapes, azimuthal invariance, converter round trip."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -145,3 +146,152 @@ class TestConverter:
         # converted params drive the forward
         f = spinnet_forward(params, CFG, _patches(4))
         assert f.shape == (3, 32) and bool(jnp.isfinite(f).all())
+
+
+class TestReferenceGolden:
+    """Golden parity against the REFERENCE torch MiniSpinNet
+    (/root/reference/dataset_process/utils/spinnet/patch_embedder.py:49-139)
+    driven on CPU via tests/reference_stubs.py (pure-torch ball_query)."""
+
+    def _ref_forward_from_patches(self, model, patches_t, des_r):
+        """The body of MiniSpinNet.forward minus select_patches (which
+        shuffles with global np.random; its set-semantics are tested
+        separately below) — patch_embedder.py:52-91."""
+        import torch
+        import torch.nn.functional as F
+
+        aligned, _, _ = model.axis_align(patches_t, True, None)
+        normed = model.normalize(aligned, des_r)
+        inv = model.SPT(normed, 1, model.delta / model.rad_n)
+        x = model.pnt_layer(inv.permute(0, 3, 1, 2))
+        x = F.max_pool2d(x, kernel_size=(1, x.shape[-1])).squeeze(3)
+        x = x.view(
+            x.shape[0], x.shape[1], model.rad_n, model.ele_n, model.azi_n
+        )
+        x, _ = model.conv_net(x)
+        w = model.pool_layer(x)
+        f = F.avg_pool2d(x * w, kernel_size=(x.shape[2], x.shape[3]))
+        return F.normalize(f.view(f.shape[0], -1), p=2, dim=1)
+
+    def test_forward_matches_reference_torch(self, monkeypatch):
+        import torch
+
+        from reference_stubs import import_reference_spinnet
+
+        sn_ref = import_reference_spinnet()
+        # the reference SPT hardcodes .cuda() (patch_embedder.py:178)
+        monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+        K, des_r = 64, 1.0
+        model = sn_ref.MiniSpinNet(des_r=des_r, num_points_per_patch=K)
+        # randomize BN running stats so a mean/var mapping error surfaces
+        g = torch.Generator().manual_seed(0)
+        for name, buf in model.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(torch.randn(buf.shape, generator=g) * 0.05)
+            elif name.endswith("running_var"):
+                buf.copy_(torch.rand(buf.shape, generator=g) * 0.5 + 0.75)
+        model.eval()
+        params = convert_spinnet_torch_state_dict(model.state_dict())
+        cfg = SpinNetConfig(des_r=des_r, num_points_per_patch=K)
+
+        rng = np.random.default_rng(1)
+        B = 6
+        kp = rng.uniform(-0.2, 0.2, (B, 3)).astype(np.float32)
+        delta = rng.uniform(-1, 1, (B, K, 3)).astype(np.float32)
+        delta *= 0.95 * des_r / np.maximum(
+            np.linalg.norm(delta, axis=-1, keepdims=True), 1.0
+        )
+        patches = kp[:, None, :] + delta
+        # slot 0 outside every SPT cell: the reference sphere_query zeroes
+        # the first sample of any cell whose first in-order candidate is
+        # patch index 0 (a pnt2->pytorch3d porting artifact,
+        # common.py:418-424 mask1); keep it inert so the comparison
+        # exercises the shared math
+        dirs = rng.standard_normal((B, 3))
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        patches[:, 0] = kp + (1.3 * des_r) * dirs.astype(np.float32)
+        patches[:, -1] = kp  # last slot = keypoint = patch center
+
+        desc_jax = np.asarray(
+            spinnet_forward(params, cfg, jnp.asarray(patches))
+        )
+        with torch.no_grad():
+            f_ref = self._ref_forward_from_patches(
+                model, torch.tensor(patches), des_r
+            )
+        np.testing.assert_allclose(desc_jax, f_ref.numpy(), atol=3e-4)
+
+    def test_patch_extraction_matches_reference_sets(self):
+        """extract_patches covers the same neighbor SETS + keypoint-fill
+        semantics as reference select_patches (which shuffles input order,
+        so exact slot order is not comparable) — patch_embedder.py:93-139."""
+        import torch
+
+        from reference_stubs import import_reference_spinnet
+
+        sn_ref = import_reference_spinnet()
+        rng = np.random.default_rng(2)
+        cloud = rng.uniform(-2, 2, (200, 3)).astype(np.float32)
+        kpts = (cloud[:4] + 0.01).astype(np.float32)
+        des_r, K = 0.8, 64
+        model = sn_ref.MiniSpinNet(des_r=des_r, num_points_per_patch=K)
+        np.random.seed(0)  # select_patches shuffles via global np.random
+        ref_patches = (
+            model.select_patches(
+                torch.tensor(cloud[None]), torch.tensor(kpts[None]),
+                vicinity=des_r, patch_sample=K,
+            )
+            .squeeze(0)
+            .numpy()
+        )
+        ours = np.asarray(
+            extract_patches(jnp.asarray(cloud), jnp.asarray(kpts), des_r, K)
+        )
+        for q in range(len(kpts)):
+            ref_set = {tuple(np.round(p, 4)) for p in ref_patches[q]}
+            our_set = {tuple(np.round(p, 4)) for p in ours[q]}
+            assert ref_set == our_set, f"keypoint {q}: patch sets differ"
+            # fill semantics: the keypoint itself appears (pad slots)
+            assert tuple(np.round(kpts[q], 4)) in our_set
+
+
+@pytest.mark.slow
+class TestSpinnetConditioningE2E:
+    """VERDICT item 5: --features spinnet exercised end-to-end through the
+    synthetic trainer (random-init weights), so the integration path
+    (patch fill semantics, chunked extraction, feature loading into the
+    condition embedding) is executed, not just the module."""
+
+    def test_train_synthetic_demo_with_spinnet_features(self, tmp_path):
+        import importlib.util
+        import json
+        import sys
+        from pathlib import Path
+
+        spec = importlib.util.spec_from_file_location(
+            "train_synthetic_demo",
+            Path(__file__).resolve().parent.parent
+            / "scripts" / "train_synthetic_demo.py",
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["train_synthetic_demo"] = mod
+        spec.loader.exec_module(mod)
+        out = tmp_path / "run"
+        mod.main([
+            "--steps", "2", "--scenes", "6", "--points-per-view", "96",
+            "--layers", "1", "--features", "spinnet",
+            "--spinnet-des-r", "1.5", "--batch-tokens", "2048",
+            "--out", str(out), "--eval-splits", "val",
+        ])
+        summary = json.loads((out / "summary.json").read_text())
+        assert np.isfinite(summary["val"]["chamfer_l2 (m)"])
+        # the sidecars really are spinnet descriptors: unit-norm rows
+        import glob
+
+        f = sorted(glob.glob(str(out / "data" / "scene_*" / "features_*.npy")))
+        assert f, "no feature sidecars written"
+        feats = np.load(f[0])
+        assert feats.shape[1] == 32
+        np.testing.assert_allclose(
+            np.linalg.norm(feats, axis=1), 1.0, atol=1e-4
+        )
