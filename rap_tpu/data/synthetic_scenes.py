@@ -16,7 +16,11 @@ from __future__ import annotations
 import numpy as np
 
 from ..dataset_process.io import save_training_sample
-from ..dataset_process.splits import make_splits, write_split_files
+from ..dataset_process.splits import (
+    make_splits,
+    write_num_points_files,
+    write_split_files,
+)
 
 
 def _sample_box(rng, center, size, n):
@@ -196,6 +200,7 @@ def generate_dataset(
     rng = np.random.default_rng(seed)
     root = Path(root)
     names = []
+    totals: dict[str, int] = {}
     for i in range(n_scenes):
         scene = make_scene(rng)
         views = split_into_views(
@@ -214,10 +219,16 @@ def generate_dataset(
                     compute_geometric_features(v),
                 )
         names.append(name)
+        totals[name] = sum(len(v) for v in views)
     # every scene is its own "sequence": split per sample, not per sequence
     train, val = make_splits(
         names, val_fraction=val_fraction,
         rng=np.random.default_rng(seed + 1), keep_sequences_together=False,
     )
     write_split_files(root, train, val)
+    # num_points sidecars: without them the loader's packer falls back to a
+    # 5000-points/part estimate and under-fills every batch ~8x (measured:
+    # S=2 where 16 scenes fit the budget)
+    for split_name, split in (("train", train), ("val", val)):
+        write_num_points_files(root, split_name, [totals[n] for n in split])
     return names

@@ -253,9 +253,44 @@ def _fwd_full_impl(qh, kh, vha, bound, softcap, block_q, block_k, interpret):
     return out, lse
 
 
+# Fixed-bound softmax is exact ONLY while every logit sits within the fp32
+# exp2 range of the bound: logits live in [-bound, bound], so the worst-case
+# spread is 2*bound and the path is provably safe iff 2*bound <= ~126. A
+# trained model can push qk-norm gammas far past this (observed: one gamma
+# component at 35 -> bound ~14k, silently zeroing every unaligned query row
+# on TPU and NaN-ing the backward through the corrupted lse) — so the bound
+# is checked AT RUNTIME and unsafe calls take the online-softmax (masked)
+# kernel, which is exact for any logit magnitude at ~25% more time.
+SAFE_BOUND2 = 60.0
+
+
+def _fwd_full_or_online(qh, kh, vha, bound, softcap, block_q, block_k,
+                        interpret):
+    """(out, lse) via the fixed-bound kernel when the bound is provably safe,
+    else the online-softmax kernel with an all-ones mask (same layout, same
+    lse contract — the shared backward consumes either)."""
+    d = vha.shape[2] - 1
+
+    def fixed(ops):
+        return _fwd_full_impl(*ops, bound, softcap, block_q, block_k, interpret)
+
+    def online(ops):
+        qh_, kh_, vha_ = ops
+        maski = jnp.ones((1, 1, kh_.shape[1]), jnp.int32)
+        bq = _divisor_cap(qh_.shape[1], 1024)
+        bk = _divisor_cap(kh_.shape[1], 2048)
+        return _fwd_impl(
+            qh_, kh_, vha_[:, :, :d], maski, softcap, bq, bk, interpret
+        )
+
+    return jax.lax.cond(
+        bound[0] <= SAFE_BOUND2, fixed, online, (qh, kh, vha)
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _flash_hm_full_va(qh, kh, vha, bound, softcap, block_q, block_k, interpret):
-    out, _ = _fwd_full_impl(
+    out, _ = _fwd_full_or_online(
         qh, kh, vha, bound, softcap, block_q, block_k, interpret
     )
     return out
@@ -263,7 +298,7 @@ def _flash_hm_full_va(qh, kh, vha, bound, softcap, block_q, block_k, interpret):
 
 def _flash_hm_full_va_fwd(qh, kh, vha, bound, softcap, block_q, block_k,
                           interpret):
-    out, lse = _fwd_full_impl(
+    out, lse = _fwd_full_or_online(
         qh, kh, vha, bound, softcap, block_q, block_k, interpret
     )
     return out, (qh, kh, vha, out, lse)

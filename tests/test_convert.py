@@ -71,7 +71,19 @@ def _torch_timestep_emb(t: torch.Tensor, channels: int) -> torch.Tensor:
 def _torch_forward(sd, cfg: DiTConfig, x, cond, feats, scales, anchor, t, part_sizes):
     """Independent torch forward over ONE sample with `len(part_sizes)` parts
     packed as a flat (T, 3) sequence (no padding)."""
+    # restored in the finally below: leaking a float64 default poisons every
+    # torch module constructed by later tests (float inputs vs double params)
+    prev_default = torch.get_default_dtype()
     torch.set_default_dtype(torch.float64)
+    try:
+        return _torch_forward_f64(sd, cfg, x, cond, feats, scales, anchor, t,
+                                  part_sizes)
+    finally:
+        torch.set_default_dtype(prev_default)
+
+
+def _torch_forward_f64(sd, cfg: DiTConfig, x, cond, feats, scales, anchor, t,
+                       part_sizes):
     sd = {k: torch.as_tensor(np.asarray(v)).double() for k, v in sd.items()}
     T_total = x.shape[0]
     H, dh = cfg.num_heads, cfg.head_dim

@@ -1,5 +1,7 @@
 """Tests for the attention primitive and the PointCloudDiT model."""
 
+import math
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -426,6 +428,54 @@ class TestPallasFullPath:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3,
                 err_msg=f"d{name} mismatch (full path)",
+            )
+
+    def test_full_unsafe_bound_falls_back_to_online(self):
+        """Regression: a trained model can push qk-norm gammas until the
+        fixed-bound softmax's base-2 bound exceeds the safe exp2 spread
+        (~126): query rows far below the bound then underflow to all-zero
+        output (observed on TPU: one gamma at 35 -> bound ~14k, eval
+        collapse + 5% NaN-skip backward). The runtime lax.cond must route
+        such calls to the online-softmax kernel, exactly."""
+        from rap_tpu.ops.pallas_attention import SAFE_BOUND2, flash_attention
+
+        B, T, H, d = 1, 256, 2, 64
+        ks = jax.random.split(jax.random.key(21), 3)
+        # 30x magnitudes: unscaled |q.k| up to ~O(10^3) => base-2 bound >> 60
+        q = jax.random.normal(ks[0], (B, T, H, d)) * 30.0
+        k = jax.random.normal(ks[1], (B, T, H, d)) * 30.0
+        v = jax.random.normal(ks[2], (B, T, H, d))
+        bnd = jnp.max(jnp.abs(jnp.einsum("bqhd,bkhd->bhqk", q, k)))
+        # confirm this bound actually lands in the unsafe regime
+        assert float(bnd) / math.sqrt(d) * math.log2(math.e) > SAFE_BOUND2
+        ones = jnp.ones((B, T), bool)
+        ref = batched_attention(q, k, v, ones, impl="dense")
+        out = flash_attention(q, k, v, None, interpret=True, logit_bound=bnd)
+        # near-one-hot softmax at these magnitudes: bf16 logit rounding can
+        # shift O(1e-3) of mass between keys — the broken path is off by O(1)
+        # (whole rows underflow to zero), so 5e-3 cleanly separates them
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-3, rtol=1e-2)
+        # and specifically: no output row underflowed to all-zeros
+        row_norm = jnp.linalg.norm(out, axis=-1)
+        assert float(jnp.min(row_norm)) > 1e-3
+        # gradients flow finitely through the fallback branch
+        w = jax.random.normal(jax.random.key(22), out.shape)
+
+        def loss(q, k, v):
+            return jnp.sum(
+                flash_attention(q, k, v, None, interpret=True,
+                                logit_bound=bnd) * w)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        gd = jax.grad(lambda q, k, v: jnp.sum(
+            batched_attention(q, k, v, ones, impl="dense") * w),
+            argnums=(0, 1, 2))(q, k, v)
+        for a, b_, name in zip(g, gd, "qkv"):
+            assert np.isfinite(np.asarray(a)).all(), f"d{name} not finite"
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=3e-3, rtol=1e-2,
+                err_msg=f"d{name} mismatch (unsafe-bound fallback)",
             )
 
     def test_no_padding_flag_set_only_when_dense(self):

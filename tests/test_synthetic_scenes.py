@@ -52,6 +52,30 @@ class TestSceneGeneration:
             np.testing.assert_allclose(rec, smp.points_gt[p], atol=1e-5)
 
 
+    def test_num_points_sidecars_feed_the_packer(self, tmp_path):
+        """Regression: without num_points/<split>.txt the batch planner falls
+        back to a 5000-points/part estimate and under-fills every batch ~8x
+        (measured: S=2 scenes packed where 16 fit the token budget). The
+        generator must write sidecars whose totals match the saved parts, and
+        the dataset must surface them to the planner."""
+        generate_dataset(tmp_path, n_scenes=8, max_points_per_view=256, seed=3)
+        for split in ("train", "val"):
+            np_file = tmp_path / "num_points" / f"{split}.txt"
+            assert np_file.exists(), f"missing num_points sidecar for {split}"
+            ds = PointCloudDataset(DatasetConfig(
+                data_path=str(tmp_path), dataset_name="synth", split=split,
+                load_features=False,
+            ))
+            assert len(ds.precomputed_num_points) == len(ds)
+            for i in range(len(ds)):
+                smp = ds.get(i)
+                actual = sum(len(p) for p in smp.points)
+                assert ds.precomputed_num_points[i] == actual, (
+                    f"{split}[{i}]: sidecar {ds.precomputed_num_points[i]} "
+                    f"!= actual {actual}"
+                )
+
+
 class TestGeometricFeatures:
     def test_rotation_invariance(self):
         """Features must be invariant to rigid rotation — the per-part SO(3)
