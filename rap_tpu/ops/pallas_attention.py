@@ -371,6 +371,15 @@ def _recompute_p_ds(q, k, mask, all_valid, lse_row, do, v, delta_row, softcap):
     op chains the remaining scale factor via ordinary autodiff].
     Softcap c:  s2 = c·log2e·tanh(z'), s_e = c·tanh(z'),
                 dz' = c·(1 - tanh^2) · p (dp - delta).
+
+    ``do`` arrives in its storage dtype (bf16): both tile matmuls here and
+    the grad matmuls in the callers run bf16×bf16 with fp32 accumulation —
+    fp32 operand matmuls run the MXU at a fraction of its bf16 rate and were
+    the measured bottleneck of the backward (BASELINE.md: 28.6 TFLOP/s
+    fwd+bwd before, with every grad matmul in fp32). p and dz are returned
+    cast to the inputs' storage dtype (bf16 in the model path) for the
+    callers' MXU matmuls; the softmax recompute and the (dp - delta)
+    combination stay fp32 (flash-attn's standard precision split).
     """
     z = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -386,11 +395,14 @@ def _recompute_p_ds(q, k, mask, all_valid, lse_row, do, v, delta_row, softcap):
     s2 = jnp.where(all_valid | mask[None, :], s2, NEG_INF)
     p = jnp.exp2(s2 - lse_row)                                    # (BQ, BK)
     dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        do, v.astype(do.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )  # (BQ, BK)
     ds = p * (dp - delta_row)      # base-e softmax gradient wrt s_e
     dz = ds * dsdz
-    return p, dz
+    # cast to the storage dtype (bf16 in the model path; fp32 inputs — e.g.
+    # precision oracles — keep fp32 and stay exact)
+    return p.astype(q.dtype), dz.astype(q.dtype)
 
 
 def _flash_bwd_dkv_kernel(
@@ -411,19 +423,19 @@ def _flash_bwd_dkv_kernel(
     @pl.when(jnp.any(mask))
     def _compute():
         q = q_ref[0]
-        do = do_ref[0].astype(jnp.float32)
+        do = do_ref[0]                        # storage dtype (bf16) for MXU
         lse_row = lse_ref[0, 0][:, None]      # (BQ, 1)
         delta_row = delta_ref[0, 0][:, None]  # (BQ, 1)
         p, dz = _recompute_p_ds(
             q, k_ref[0], mask, all_valid, lse_row, do, v_ref[0], delta_row,
             softcap,
         )
-        # dV += p^T dO ; dK += dz^T Q
+        # dV += p^T dO ; dK += dz^T Q — bf16 operands, fp32 accumulation
         dv_acc[:] += jax.lax.dot_general(
             p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         dk_acc[:] += jax.lax.dot_general(
-            dz, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            dz, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -450,7 +462,7 @@ def _flash_bwd_dq_kernel(
     @pl.when(jnp.any(mask))
     def _compute():
         q = q_ref[0]
-        do = do_ref[0].astype(jnp.float32)
+        do = do_ref[0]
         lse_row = lse_ref[0, 0][:, None]
         delta_row = delta_ref[0, 0][:, None]
         _, dz = _recompute_p_ds(
@@ -458,7 +470,7 @@ def _flash_bwd_dq_kernel(
             softcap,
         )
         dq_acc[:] += jax.lax.dot_general(
-            dz, k_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            dz, k_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
