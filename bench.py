@@ -49,23 +49,37 @@ def main():
     from rap_tpu.models.dit import init_dit_params
     from rap_tpu.registration import RPFConfig, predict_poses, sample
 
-    dev = jax.devices()[0]
-    log(f"device: {dev.device_kind}, platform {dev.platform}")
+    devices = jax.devices()
+    n_dev = len(devices)
+    dev = devices[0]
+    log(f"device: {dev.device_kind}, platform {dev.platform}, n={n_dev}")
 
     cfg = RPFConfig(
         model=DiTConfig(num_layers=12),
         inference_sampling_steps=STEPS,
         rigidity_forcing=True,
     )
+    # mesh-aware: on n devices the batch carries n x PAIRS pairs, sharded on
+    # the leading sample/part axis (params replicate); reported value stays
+    # per-chip so the metric is invariant to fleet size
+    pairs = PAIRS * n_dev
     batch = make_regular_synthetic_batch(
         jax.random.key(0),
-        points_per_part=[[POINTS_PER_PART, POINTS_PER_PART] for _ in range(PAIRS)],
+        points_per_part=[[POINTS_PER_PART, POINTS_PER_PART] for _ in range(pairs)],
         N=POINTS_PER_PART,
         P=2,
-        S=PAIRS,
+        S=pairs,
         feat_dim=cfg.model.local_feat_dim,
     )
     params = init_dit_params(jax.random.key(1), cfg.model)
+    if n_dev > 1:
+        from rap_tpu.parallel.mesh import (
+            make_mesh, replicate_sharding, shard_batch,
+        )
+
+        mesh = make_mesh(n_dev)
+        batch = shard_batch(batch, mesh)
+        params = jax.device_put(params, replicate_sharding(mesh))
 
     @jax.jit
     def generate(params, batch, key):
@@ -92,12 +106,13 @@ def main():
         jax.block_until_ready((pts, R, t))
         times.append((time.time() - t0) / REPS)
     per_batch = float(np.median(times))
-    pairs_per_sec = PAIRS / per_batch
+    pairs_per_sec = pairs / per_batch / n_dev  # per chip
     mfu = TFLOP_PER_PAIR * pairs_per_sec / 197.0  # v5e bf16 peak ~197 TFLOP/s
     log(
-        f"batch of {PAIRS} pairs: {per_batch * 1e3:.1f} ms "
-        f"({per_batch / PAIRS * 1e3:.1f} ms/pair, "
-        f"{TFLOP_PER_PAIR * pairs_per_sec:.0f} TFLOP/s effective, "
+        f"batch of {pairs} pairs on {n_dev} device(s): {per_batch * 1e3:.1f} ms "
+        f"({per_batch / pairs * 1e3:.1f} ms/pair, "
+        f"{pairs / per_batch:.2f} pairs/s total, "
+        f"{TFLOP_PER_PAIR * pairs_per_sec:.0f} TFLOP/s/chip effective, "
         f"{100 * mfu:.0f}% MFU)"
     )
 

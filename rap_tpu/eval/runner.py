@@ -1,0 +1,56 @@
+"""Small shared eval loop: full ODE sampling + pose fit + metric suite.
+
+Used by scripts/train_synthetic_demo.py and scripts/reflow_distill.py so both
+report registration metrics through the exact same protocol (the reference's
+test path, modeling.py:336-426): generate with the configured sampler, fit
+per-part poses with Kabsch, aggregate with MetricsMeter.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from ..data import BatchLoader, LoaderConfig
+from ..registration import RPFConfig, predict_poses, sample
+from .evaluator import EvalConfig, Evaluator
+from .meter import MetricsMeter, print_eval_table
+
+
+def evaluate_split(
+    params,
+    pipe: RPFConfig,
+    ds,
+    *,
+    batch_tokens: int = 32_768,
+    num_steps: int | None = None,
+    seed: int = 100,
+    tag: str = "val",
+    dataset_key: str = "synth",
+) -> dict[str, float]:
+    """Run the full sampling+metrics protocol over one dataset; returns the
+    per-dataset averaged metric dict (floats)."""
+    evaluator = Evaluator(EvalConfig())
+
+    @jax.jit
+    def generate(params, batch, key):
+        o = sample(
+            params, pipe, batch, key,
+            return_trajectory=False, num_steps=num_steps,
+        )
+        R, t = predict_poses(batch, o["points"])
+        return o["points"], R, t
+
+    meter = MetricsMeter()
+    loader = BatchLoader(
+        [ds], LoaderConfig(max_points_per_batch=batch_tokens, shuffle=False)
+    )
+    for b_idx, (batch, names, ds_name) in enumerate(loader.epoch(0)):
+        pts, R, t = generate(params, batch, jax.random.key(seed + b_idx))
+        md = evaluator.compute_metrics(batch, pts, R, t)
+        valid = np.asarray(batch.sample_valid)
+        nparts = np.asarray(batch.part_valid).reshape(batch.S, -1).sum(1)
+        meter.add_metrics(ds_name, md, valid, nparts)
+    results = meter.compute_average()
+    print_eval_table({tag: results})
+    return {k: float(v) for k, v in results.get(dataset_key, {}).items()}

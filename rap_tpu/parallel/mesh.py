@@ -46,6 +46,13 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a time-stacked PartBatch pytree (leading (steps, ...)
+    axis, e.g. the scanned-train-steps input): steps replicate, the batch
+    axis (axis 1) shards over data."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def shard_batch(batch: PartBatch, mesh: Mesh) -> PartBatch:
     """Put a host batch on the mesh with leading-axis sharding over the data
     axis. Multi-process: ``batch`` is this process's local sample-axis slice

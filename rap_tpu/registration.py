@@ -71,14 +71,29 @@ def velocity_fn(params, cfg: RPFConfig, batch: PartBatch, **fwd_kw):
 
 
 def training_forward(
-    params, cfg: RPFConfig, batch: PartBatch, rng: jax.Array, remat: bool = True
+    params,
+    cfg: RPFConfig,
+    batch: PartBatch,
+    rng: jax.Array,
+    remat: bool = True,
+    x_1: jax.Array | None = None,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
-    """One training forward: sample t, build flow target, predict v, loss."""
+    """One training forward: sample t, build flow target, predict v, loss.
+
+    ``x_1`` overrides the fresh Gaussian noise endpoint — the reflow /
+    distillation hook (Liu et al., rectified flow): training on stored
+    (x_0=teacher endpoint, x_1=the exact noise the teacher integrated from)
+    couples straightens the learned ODE so 1-4 Euler steps match the 10-step
+    teacher. No reference counterpart (the reference always trains the
+    1-rectified flow, modeling.py:186-201); this is the TPU-side route past
+    the per-pair-FLOP ceiling documented in BASELINE.md.
+    """
     k_t, k_noise = jax.random.split(rng)
     t_sample = flow.sample_timesteps(k_t, batch.S, cfg.timestep_sampling)  # (S,)
     # invalid sample slots keep a valid t (masked out of the loss anyway)
     x_0 = batch.points_gt
-    x_1 = jax.random.normal(k_noise, x_0.shape, x_0.dtype)
+    if x_1 is None:
+        x_1 = jax.random.normal(k_noise, x_0.shape, x_0.dtype)
     t_point = batch.per_sample_to_point(t_sample)[..., None]  # (G, N, 1)
     x_t, v_t = flow.flow_interpolate(x_0, x_1, t_point)
 

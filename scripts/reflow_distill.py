@@ -1,0 +1,223 @@
+"""Reflow distillation: straighten a trained flow so 1-4 Euler steps match it.
+
+The per-pair-FLOP ceiling analysis (BASELINE.md) shows single-chip throughput
+is bound by 10 ODE steps x 41 TFLOP; the kernels are at their matmul floor.
+The route past it is fewer steps at matched recall. This implements the
+rectified-flow "reflow" recipe (Liu et al. 2022) on the trained synthetic
+teacher:
+
+  1. COUPLES — run the 10-step rigidity-forced teacher ODE from recorded
+     noise x_1 over the train split (several augmentation epochs); store
+     (condition, x_0 = teacher endpoint, x_1) couples. The final state of the
+     rigidity-forced sampler IS the rigid projection (core/sampler.py), so
+     couples are exactly the objects the evaluator scores.
+  2. RETRAIN — fine-tune the same weights on the straight bridge between the
+     stored couples (uniform t, velocity MSE; registration.training_forward
+     with the x_1 override). The marginals are preserved; the ODE paths
+     straighten, so coarse Euler integration stops losing accuracy.
+  3. EVAL — sweep step counts for teacher vs student on held-out val with the
+     identical metric protocol, plus a trajectory-linearity probe
+     (core/sampler.compute_linearity).
+
+No reference counterpart: the reference always runs 10 Euler steps
+(sampler.py:11-92, RAP_inference.yaml:52-65). Reflow is the TPU-first answer
+to its throughput protocol — same quality bar, fewer sequential model calls.
+
+Usage:
+  timeout 7200 python scripts/reflow_distill.py \
+      --teacher demo_run/ckpts/final --data-root demo_run/data \
+      --out reflow_run [--yaw-aug] [--steps 2000] [--couple-epochs 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+logger = logging.getLogger("reflow_distill")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--teacher", required=True, help="teacher checkpoint dir")
+    ap.add_argument("--data-root", required=True)
+    ap.add_argument("--out", default="reflow_run")
+    ap.add_argument("--layers", type=int, default=6)
+    ap.add_argument("--batch-tokens", type=int, default=32_768)
+    ap.add_argument("--teacher-steps", type=int, default=10)
+    ap.add_argument("--couple-epochs", type=int, default=2,
+                    help="augmentation epochs of the train split to convert "
+                         "into teacher couples")
+    ap.add_argument("--max-couples", type=int, default=2000,
+                    help="cap on stored couple batches (host RAM)")
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--yaw-aug", action="store_true")
+    ap.add_argument("--features", default="geometric",
+                    choices=["geometric", "zero", "spinnet"])
+    ap.add_argument("--eval-steps-sweep", default="1,2,4,10")
+    ap.add_argument("--eval-splits", default="val")
+    ap.add_argument("--student", default="",
+                    help="eval-only: checkpoint dir of an already-distilled "
+                         "student (skips couple generation + training)")
+    args = ap.parse_args(argv)
+
+    from rap_tpu.core.sampler import compute_linearity
+    from rap_tpu.data import (
+        BatchLoader, DatasetConfig, LoaderConfig, PointCloudDataset,
+    )
+    from rap_tpu.eval.runner import evaluate_split
+    from rap_tpu.models import DiTConfig
+    from rap_tpu.models.dit import init_dit_params
+    from rap_tpu.registration import RPFConfig, sample
+    from rap_tpu.train import (
+        OptimizerConfig, TrainState, build_optimizer, make_train_step,
+    )
+    from rap_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    from rap_tpu.train.tracking import ExperimentTracker
+
+    out = Path(args.out)
+    model = DiTConfig(num_layers=args.layers)
+    teacher_pipe = RPFConfig(
+        model=model, inference_sampling_steps=args.teacher_steps,
+        rigidity_forcing=True,
+    )
+    # uniform t straightens the whole path (the standard reflow objective);
+    # the couple already encodes the pose, so the aux pose loss stays off
+    reflow_pipe = RPFConfig(
+        model=model, inference_sampling_steps=args.teacher_steps,
+        rigidity_forcing=True, timestep_sampling="uniform",
+    )
+
+    ds_kw = dict(data_path=args.data_root, dataset_name="synth",
+                 load_features=args.features != "zero",
+                 yaw_augmentation=args.yaw_aug)
+    train_ds = PointCloudDataset(DatasetConfig(split="train", **ds_kw))
+    val_ds = PointCloudDataset(DatasetConfig(split="val", **ds_kw))
+    logger.info("train %d samples, val %d", len(train_ds), len(val_ds))
+
+    params0 = init_dit_params(jax.random.key(0), model)
+    tx = build_optimizer(
+        OptimizerConfig(name="muon", lr=args.lr, grad_clip=0.5),
+        steps_per_epoch=max(len(train_ds) // 8, 1),
+    )
+    t_state = TrainState.create(params0, tx, jax.random.key(1))
+    t_state = restore_checkpoint(Path(args.teacher), t_state)
+    teacher_params = t_state.params
+    logger.info("teacher restored from %s", args.teacher)
+
+    summary: dict = {"config": vars(args).copy()}
+
+    if args.student:
+        s_state = TrainState.create(params0, tx, jax.random.key(2))
+        s_state = restore_checkpoint(Path(args.student), s_state)
+        student_params = s_state.params
+    else:
+        # ---- 1. generate teacher couples -----------------------------------
+        @jax.jit
+        def teacher_generate(params, batch, key):
+            x_1 = jax.random.normal(key, batch.points.shape, jnp.float32)
+            o = sample(params, teacher_pipe, batch, key, x_1=x_1,
+                       return_trajectory=False)
+            return o["points"], x_1
+
+        couples = []  # (host PartBatch with points_gt := teacher x0, x_1)
+        t0 = time.time()
+        loader = BatchLoader(
+            [train_ds],
+            LoaderConfig(max_points_per_batch=args.batch_tokens,
+                         shuffle=True, prefetch=2),
+        )
+        done = False
+        for epoch in range(args.couple_epochs):
+            if done:
+                break
+            for b_idx, (batch, names, _) in enumerate(loader.epoch(epoch)):
+                key = jax.random.fold_in(jax.random.key(7), epoch * 100_000 + b_idx)
+                x0_t, x_1 = teacher_generate(teacher_params, batch, key)
+                couples.append(
+                    (jax.device_get(batch.replace(points_gt=x0_t)),
+                     jax.device_get(x_1))
+                )
+                if len(couples) >= args.max_couples:
+                    done = True
+                    break
+        logger.info("generated %d couple batches in %.0fs",
+                    len(couples), time.time() - t0)
+        if not couples:
+            raise RuntimeError("no couples generated — empty train split?")
+
+        # ---- 2. fine-tune on the straightened coupling ----------------------
+        step_fn = make_train_step(reflow_pipe, tx, remat=True, with_noise=True)
+        state = TrainState.create(teacher_params, tx, jax.random.key(3))
+        tracker = ExperimentTracker(out / "ckpts", config=None,
+                                    use_wandb=False, snapshot=False)
+        rng = np.random.default_rng(0)
+        total, t0 = 0, time.time()
+        while total < args.steps:
+            for i in rng.permutation(len(couples)):
+                b, x1 = couples[i]
+                state, metrics = step_fn(state, b, x1)
+                total += 1
+                if total % 100 == 0:
+                    tracker.log(total, metrics)
+                if total >= args.steps:
+                    break
+        jax.block_until_ready(state.params)
+        logger.info("distilled %d steps in %.0fs", total, time.time() - t0)
+        save_checkpoint(out / "ckpts" / "final", state, {"steps": total})
+        tracker.finish()
+        student_params = state.params
+
+    # ---- 3. eval sweep: teacher vs student over step counts -----------------
+    sweep = [int(s) for s in args.eval_steps_sweep.split(",")]
+    eval_pipe = RPFConfig(model=model, rigidity_forcing=True)
+    for split in args.eval_splits.split(","):
+        ds = train_ds if split == "train" else val_ds
+        for who, params in (("teacher", teacher_params),
+                            ("student", student_params)):
+            for k in sweep:
+                tag = f"{split}/{who}@{k}steps"
+                res = evaluate_split(
+                    params, eval_pipe, ds,
+                    batch_tokens=args.batch_tokens, num_steps=k, tag=tag,
+                )
+                summary[tag] = res
+
+    # ---- linearity probe: how straight did the paths get? -------------------
+    probe_loader = BatchLoader(
+        [val_ds], LoaderConfig(max_points_per_batch=args.batch_tokens,
+                               shuffle=False)
+    )
+    batch = next(iter(probe_loader.epoch(0)))[0]
+
+    @jax.jit
+    def probe(params, batch):
+        o = sample(params, eval_pipe, batch, jax.random.key(42),
+                   return_trajectory=True, num_steps=10)
+        lin = compute_linearity(o["trajectory"], batch.point_mask)
+        denom = jnp.maximum(batch.point_mask.sum(), 1)
+        return lin.sum() / denom
+
+    for who, params in (("teacher", teacher_params), ("student", student_params)):
+        summary[f"linearity/{who}"] = float(probe(params, batch))
+        logger.info("linearity %s: %.4f", who, summary[f"linearity/{who}"])
+
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "summary.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,7 +29,6 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 logging.basicConfig(level=logging.INFO, stream=sys.stderr)
@@ -86,11 +85,10 @@ def main(argv=None):
 
     from rap_tpu.data import BatchLoader, DatasetConfig, LoaderConfig, PointCloudDataset
     from rap_tpu.data.synthetic_scenes import generate_dataset
-    from rap_tpu.eval import Evaluator, EvalConfig, MetricsMeter
-    from rap_tpu.eval.meter import print_eval_table
+    from rap_tpu.eval.runner import evaluate_split
     from rap_tpu.models import DiTConfig
     from rap_tpu.models.dit import init_dit_params, param_count
-    from rap_tpu.registration import RPFConfig, predict_poses, sample
+    from rap_tpu.registration import RPFConfig
     from rap_tpu.train import (
         OptimizerConfig, TrainState, build_optimizer, make_train_step,
     )
@@ -212,29 +210,11 @@ def main(argv=None):
         state = restore_checkpoint(Path(args.eval_only), state)
 
     # ---- eval: full sampling + pose recovery + recall -----------------------
-    evaluator = Evaluator(EvalConfig())
-
-    @jax.jit
-    def generate(params, batch, key):
-        o = sample(params, pipe, batch, key, return_trajectory=False)
-        R, t = predict_poses(batch, o["points"])
-        return o["points"], R, t
-
     def run_eval(ds, tag):
-        meter = MetricsMeter()
-        loader = BatchLoader(
-            [ds], LoaderConfig(max_points_per_batch=args.batch_tokens,
-                               shuffle=False)
+        return evaluate_split(
+            state.params, pipe, ds,
+            batch_tokens=args.batch_tokens, num_steps=args.eval_steps, tag=tag,
         )
-        for b_idx, (batch, names, ds_name) in enumerate(loader.epoch(0)):
-            pts, R, t = generate(state.params, batch, jax.random.key(100 + b_idx))
-            md = evaluator.compute_metrics(batch, pts, R, t)
-            valid = np.asarray(batch.sample_valid)
-            nparts = np.asarray(batch.part_valid).reshape(batch.S, -1).sum(1)
-            meter.add_metrics(ds_name, md, valid, nparts)
-        results = meter.compute_average()
-        print_eval_table({tag: results})
-        return {k: float(v) for k, v in results.get("synth", {}).items()}
 
     summary = {
         "steps": args.steps if not args.eval_only else "eval-only",

@@ -125,3 +125,47 @@ class TestRasterRenderer:
         img = render_point_cloud_raster(np.zeros((0, 3)), image_size=32)
         assert img.shape == (32, 32, 3)
         assert (img == 255).all()
+
+
+class TestShadedRenderer:
+    def test_lighting_and_shadow(self):
+        from rap_tpu.utils.render import (
+            estimate_normals,
+            render_point_cloud_shaded,
+            visualize_point_clouds,
+        )
+
+        # a dense flat plate: normals must come out ~±z, the render must be
+        # occupied, anti-aliased to the requested size, and the ground plane
+        # under the plate must carry a shadow darker than the background
+        rng = np.random.default_rng(0)
+        pts = np.concatenate([
+            np.stack([rng.uniform(-1, 1, 800), rng.uniform(-1, 1, 800),
+                      np.full(800, 0.5)], 1),
+        ])
+        nrm = estimate_normals(pts, k=8)
+        assert nrm.shape == (len(pts), 3)
+        assert np.abs(nrm[:, 2]).mean() > 0.95
+
+        cols = np.tile([[0.2, 0.8, 0.3]], (len(pts), 1))
+        img = render_point_cloud_shaded(pts, cols, image_size=96, point_size=3)
+        assert img.shape == (96, 96, 3) and img.dtype == np.uint8
+        # some pixels are the lit cloud (greenish), some the shadowed plane
+        assert (img < 250).any(axis=-1).mean() > 0.05
+        grey = img.mean(-1)
+        assert grey.min() < 230  # shadow/AO darker than the white background
+
+        via = visualize_point_clouds(pts, colors=cols, renderer="shaded",
+                                     image_size=96, point_size=3)
+        np.testing.assert_array_equal(via, img)
+
+    def test_empty_and_no_shadow(self):
+        from rap_tpu.utils.render import render_point_cloud_shaded
+
+        img = render_point_cloud_shaded(np.zeros((0, 3)), image_size=32)
+        assert img.shape == (32, 32, 3) and (img == 255).all()
+        img = render_point_cloud_shaded(
+            np.random.default_rng(1).normal(size=(64, 3)),
+            image_size=48, ground_shadow=False, supersample=1,
+        )
+        assert img.shape == (48, 48, 3)
