@@ -23,6 +23,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -35,8 +36,12 @@ PAIRS = 4           # pairs per batch (sweep: 2: 2.68, 4: 2.75, 8: 2.77/s —
                     # larger batches amortize the fixed pose-fit/sampler glue;
                     # 4 keeps p50 latency ~1.5 s while capturing most of it)
 POINTS_PER_PART = 4096
-STEPS = 10
-TFLOP_PER_PAIR = 41.0  # analytic: 24.7 attention + 16.5 projection/FF
+# ODE steps: 10 is the reference protocol (RAP_inference.yaml:52-65). The
+# BENCH_STEPS env var measures the distilled few-step protocol (reflow,
+# scripts/reflow_distill.py) — only quote those numbers next to the matched
+# -recall evidence in docs/synthetic_training.md.
+STEPS = int(os.environ.get("BENCH_STEPS", "10"))
+TFLOP_PER_PAIR = 41.0 * STEPS / 10  # analytic: (24.7 attn + 16.5 proj/FF) @10
 
 
 def log(*a):

@@ -27,9 +27,15 @@ def evaluate_split(
     seed: int = 100,
     tag: str = "val",
     dataset_key: str = "synth",
+    n_generations: int = 1,
 ) -> dict[str, float]:
     """Run the full sampling+metrics protocol over one dataset; returns the
-    per-dataset averaged metric dict (floats)."""
+    per-dataset averaged metric dict (floats).
+
+    With ``n_generations`` > 1 the reference benchmark protocol applies
+    (scripts/test_script_example.sh: n_generations=3, rigidity-selected):
+    each sample is generated N times and avg / best-of-N / rigidity-selected
+    sections are reported, keyed ``best_of_N/<metric>`` etc."""
     evaluator = Evaluator(EvalConfig())
 
     @jax.jit
@@ -46,11 +52,25 @@ def evaluate_split(
         [ds], LoaderConfig(max_points_per_batch=batch_tokens, shuffle=False)
     )
     for b_idx, (batch, names, ds_name) in enumerate(loader.epoch(0)):
-        pts, R, t = generate(params, batch, jax.random.key(seed + b_idx))
-        md = evaluator.compute_metrics(batch, pts, R, t)
+        gen_results = []
+        for g in range(n_generations):
+            gkey = jax.random.fold_in(jax.random.key(seed + b_idx), g)
+            pts, R, t = generate(params, batch, gkey)
+            gen_results.append(evaluator.compute_metrics(batch, pts, R, t))
         valid = np.asarray(batch.sample_valid)
         nparts = np.asarray(batch.part_valid).reshape(batch.S, -1).sum(1)
-        meter.add_metrics(ds_name, md, valid, nparts)
+        if n_generations == 1:
+            meter.add_metrics(ds_name, gen_results[0], valid, nparts)
+        else:
+            agg = evaluator.aggregate_generations(batch, gen_results)
+            meter.add_metrics(ds_name, agg["avg"], valid, nparts)
+            for section in (f"best_of_{n_generations}", "rigidity_selected"):
+                if section in agg:
+                    meter.add_metrics(
+                        ds_name,
+                        {f"{section}/{k}": v for k, v in agg[section].items()},
+                        valid,
+                    )
     results = meter.compute_average()
     print_eval_table({tag: results})
     return {k: float(v) for k, v in results.get(dataset_key, {}).items()}

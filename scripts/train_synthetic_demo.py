@@ -81,6 +81,10 @@ def main(argv=None):
                          "(augment_eval protocol)")
     ap.add_argument("--eval-steps", type=int, default=10,
                     help="ODE steps at eval")
+    ap.add_argument("--eval-generations", type=int, default=1,
+                    help=">1 applies the reference benchmark protocol "
+                         "(test_script_example.sh): best-of-N + "
+                         "rigidity-selected sections")
     args = ap.parse_args(argv)
 
     from rap_tpu.data import BatchLoader, DatasetConfig, LoaderConfig, PointCloudDataset
@@ -214,6 +218,7 @@ def main(argv=None):
         return evaluate_split(
             state.params, pipe, ds,
             batch_tokens=args.batch_tokens, num_steps=args.eval_steps, tag=tag,
+            n_generations=args.eval_generations,
         )
 
     summary = {

@@ -531,3 +531,49 @@ class TestEvalConfigExtensions:
         assert meter.get_sample_counts()["toy"] == 2
         avg = meter.compute_average()["toy"]
         assert avg["m"] == 1.5 and avg["best_of_2/m"] == 1.5
+
+
+class TestEvalRunner:
+    def test_multi_generation_protocol(self, tmp_path):
+        """evaluate_split with n_generations>1 reports avg + best-of-N +
+        rigidity-selected sections (the reference benchmark protocol,
+        scripts/test_script_example.sh n_generations=3)."""
+        from rap_tpu.data import DatasetConfig, PointCloudDataset
+        from rap_tpu.eval.runner import evaluate_split
+        from rap_tpu.models import DiTConfig
+        from rap_tpu.models.dit import init_dit_params
+        from rap_tpu.registration import RPFConfig
+        from rap_tpu.utils import ply as plyio
+
+        rng = np.random.default_rng(0)
+        root = tmp_path / "data"
+        names = [f"s{i}" for i in range(3)]
+        for n in names:
+            d = root / n
+            d.mkdir(parents=True)
+            for p in range(2):
+                plyio.write_ply(
+                    d / f"part_{p}.ply",
+                    rng.standard_normal((40 + 8 * p, 3)).astype(np.float32),
+                )
+        (root / "data_split").mkdir()
+        (root / "data_split" / "train.txt").write_text(names[0] + "\n")
+        (root / "data_split" / "val.txt").write_text("\n".join(names[1:]) + "\n")
+
+        model = DiTConfig(num_layers=1, embed_dim=32, num_heads=2,
+                          local_feat_dim=32, compute_dtype=jnp.float32)
+        pipe = RPFConfig(model=model, inference_sampling_steps=2,
+                         rigidity_forcing=True)
+        ds = PointCloudDataset(DatasetConfig(
+            split="val", data_path=str(root), dataset_name="synth"))
+        params = init_dit_params(jax.random.key(0), model)
+        res = evaluate_split(params, pipe, ds, batch_tokens=512,
+                             n_generations=2, tag="t")
+        assert "recall_at_10deg_0.2m (nss)" in res
+        assert "best_of_2/recall_at_10deg_0.2m (nss)" in res
+        assert "rigidity_selected/recall_at_10deg_0.2m (nss)" in res
+        for v in res.values():
+            assert np.isfinite(v)
+        # best-of-N recall dominates the average by construction
+        assert (res["best_of_2/recall_at_10deg_0.2m (nss)"]
+                >= res["recall_at_10deg_0.2m (nss)"] - 1e-9)
