@@ -34,7 +34,9 @@ from ..utils.render import (
     part_ids_to_colors,
     pca_colors,
     render_point_cloud,
+    save_gif,
     save_image,
+    visualize_point_clouds,
 )
 
 logger = logging.getLogger("rap_tpu.viewer")
@@ -150,12 +152,22 @@ def render_result_sample(
     input_indices: list[int] | None = None,
     image_size: int = 512,
     views=((25, 45), (25, 135)),
+    renderer: str = "matplotlib",
+    orbit: int = 0,
+    compare: bool = False,
 ) -> list[Path]:
     """Render part-colored PNGs of a result sample; returns written paths.
 
     ``apply_poses`` needs UNREGISTERED input clouds (``input_parts``); the
     saved result clouds are already registered, so applying the saved poses
-    to them would double-transform — refused with a warning."""
+    to them would double-transform — refused with a warning.
+
+    ``renderer``: matplotlib | raster | shaded (utils/render.py modes).
+    ``orbit``: >0 writes an N-frame azimuth-sweep GIF — the headless
+    replacement for the reference viewer's interactive camera orbit
+    (visualize_registered_pointclouds.py drag-to-rotate).
+    ``compare``: with ``input_parts``, writes a side-by-side
+    input | result panel (the reference viewer's before/after toggle)."""
     parts = sample.parts
     if apply_poses and sample.transforms:
         if input_parts is not None:
@@ -181,13 +193,38 @@ def render_result_sample(
     colors = part_ids_to_colors(ids)
     out_dir = Path(out_dir)
     written = []
-    for elev, azim in views:
-        img = render_point_cloud(
-            merged, colors, image_size=image_size, elev=elev, azim=azim,
-            title=sample.name,
+
+    def _render(pts, cols, elev, azim, title):
+        return visualize_point_clouds(
+            pts, colors=cols, renderer=renderer, image_size=image_size,
+            elev=elev, azim=azim, title=title,
         )
+
+    for elev, azim in views:
+        img = _render(merged, colors, elev, azim, sample.name)
         p = out_dir / f"{sample.name}_e{elev}_a{azim}.png"
         save_image(p, img)
+        written.append(p)
+    if orbit > 0 and len(merged):
+        frames = [
+            _render(merged, colors, views[0][0], a, sample.name)
+            for a in np.linspace(0.0, 360.0, orbit, endpoint=False)
+        ]
+        p = out_dir / f"{sample.name}_orbit.gif"
+        save_gif(p, frames, duration_ms=120)
+        written.append(p)
+    if compare and input_parts is not None:
+        in_merged = np.concatenate(input_parts)
+        in_ids = np.concatenate(
+            [np.full(len(q), i) for i, q in enumerate(input_parts)]
+        )
+        left = _render(in_merged, part_ids_to_colors(in_ids),
+                       views[0][0], views[0][1], "input")
+        right = _render(merged, colors, views[0][0], views[0][1], "result")
+        h = min(left.shape[0], right.shape[0])
+        panel = np.concatenate([left[:h], right[:h]], axis=1)
+        p = out_dir / f"{sample.name}_compare.png"
+        save_image(p, panel)
         written.append(p)
     return written
 
@@ -195,6 +232,7 @@ def render_result_sample(
 def browse_results(
     results_dir, out_dir, apply_poses: bool = False, limit: int = 0,
     generation: str | int = 0, input_dir=None,
+    renderer: str = "matplotlib", orbit: int = 0, compare: bool = False,
 ) -> list[Path]:
     """Headless batch render of every sample in a results dir.
 
@@ -223,6 +261,7 @@ def browse_results(
         written += render_result_sample(
             rs, out_dir, apply_poses=apply_poses,
             input_parts=input_parts, input_indices=input_indices,
+            renderer=renderer, orbit=orbit, compare=compare,
         )
     logger.info("rendered %d images to %s", len(written), out_dir)
     return written
@@ -308,6 +347,13 @@ def main(argv=None):
     )
     r.add_argument("--generation", default="0")
     r.add_argument("--limit", type=int, default=0)
+    r.add_argument("--renderer", default="matplotlib",
+                   choices=["matplotlib", "raster", "shaded"])
+    r.add_argument("--orbit", type=int, default=0, metavar="FRAMES",
+                   help="write an azimuth-orbit GIF per sample (headless "
+                        "equivalent of the reference viewer's camera orbit)")
+    r.add_argument("--compare", action="store_true",
+                   help="side-by-side input|result panel (needs --input-dir)")
     s = sub.add_parser("samples", help="browse training-sample folders")
     s.add_argument("--data-dir", required=True)
     s.add_argument("-o", "--output", default="viewer_output")
@@ -318,7 +364,8 @@ def main(argv=None):
         browse_results(
             args.results_dir, args.output, apply_poses=args.apply_poses,
             limit=args.limit, generation=args.generation,
-            input_dir=args.input_dir,
+            input_dir=args.input_dir, renderer=args.renderer,
+            orbit=args.orbit, compare=args.compare,
         )
     else:
         browse_samples(args.data_dir, args.output, pca=args.pca, limit=args.limit)

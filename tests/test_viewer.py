@@ -47,6 +47,32 @@ class TestResultsBrowser:
         )
         assert moved[0].shape == rs.parts[0].shape
 
+    def test_orbit_gif_and_compare_panel(self, tmp_path):
+        """--orbit writes an azimuth-sweep GIF; --compare a side-by-side
+        input|result panel (headless equivalents of the reference viewer's
+        camera orbit and before/after toggle)."""
+        res = _make_eval_results(tmp_path)
+        rng = np.random.default_rng(3)
+        inp = tmp_path / "inputs"
+        inp.mkdir()
+        for i in range(2):
+            plyio.write_ply(inp / f"part_{i}.ply",
+                            rng.standard_normal((40, 3)).astype(np.float32))
+        written = V.browse_results(
+            res, tmp_path / "viz", input_dir=inp,
+            renderer="raster", orbit=4, compare=True,
+        )
+        names = {p.name for p in written}
+        assert any(n.endswith("_orbit.gif") for n in names)
+        assert any(n.endswith("_compare.png") for n in names)
+        gif = next(p for p in written if p.name.endswith("_orbit.gif"))
+        assert gif.stat().st_size > 500
+        panel = next(p for p in written if p.name.endswith("_compare.png"))
+        from PIL import Image
+
+        w, h = Image.open(panel).size
+        assert w == 2 * h  # two square views side by side
+
     def test_renders_demo_output_layout(self, tmp_path):
         rng = np.random.default_rng(0)
         (tmp_path / "registered").mkdir()
