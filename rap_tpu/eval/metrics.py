@@ -377,6 +377,7 @@ def icp_point_to_point(
     tgt: jax.Array,       # (B, M, 3)
     tgt_mask: jax.Array,  # (B, M)
     iters: int = 20,
+    trim_fraction: float = 1.0,
 ):
     """Batched point-to-point ICP: returns (R, t) with src @ R^T + t ≈ tgt.
 
@@ -385,6 +386,13 @@ def icp_point_to_point(
     fixed-iteration ``lax.scan`` of masked NN + batched Kabsch instead of a
     convergence loop — fully vmappable, no host sync. Empty clouds return
     (I, 0).
+
+    ``trim_fraction`` < 1 runs *trimmed* ICP: each iteration keeps only the
+    closest ``trim_fraction`` of valid correspondences for the Kabsch fit,
+    which makes the alignment robust to partial overlap (source points with
+    no true counterpart in the target stop dragging the fit). No reference
+    counterpart — pytorch3d's ICP is untrimmed; this is what makes
+    post-registration refinement between partially-overlapping views work.
     """
     from ..core.procrustes import kabsch_masked
 
@@ -394,9 +402,23 @@ def icp_point_to_point(
     def body(carry, _):
         R, t = carry
         cur = transform_points(R, t, src)
-        _, idx = _masked_nn(cur, src_mask, tgt, tgt_mask)
+        d, idx = _masked_nn(cur, src_mask, tgt, tgt_mask)
         corr = jnp.take_along_axis(tgt, idx[..., None], axis=1)  # (B,N,3)
-        R, t = kabsch_masked(src, corr, src_mask)
+        if trim_fraction < 1.0:
+            dv = jnp.where(src_mask, d, jnp.inf)
+            n_valid = jnp.sum(src_mask, axis=-1)                 # (B,)
+            k = jnp.maximum(
+                (n_valid.astype(jnp.float32) * trim_fraction).astype(jnp.int32),
+                3,
+            )
+            ds = jnp.sort(dv, axis=-1)
+            thr = jnp.take_along_axis(
+                ds, jnp.minimum(k - 1, dv.shape[-1] - 1)[:, None], axis=-1
+            )                                                    # (B,1)
+            keep = src_mask & (dv <= thr)
+        else:
+            keep = src_mask
+        R, t = kabsch_masked(src, corr, keep)
         return (R, t), None
 
     B = src.shape[0]

@@ -12,7 +12,7 @@ import jax
 import numpy as np
 
 from ..data import BatchLoader, LoaderConfig
-from ..registration import RPFConfig, predict_poses, sample
+from ..registration import RPFConfig, predict_poses, refine_poses_icp, sample
 from .evaluator import EvalConfig, Evaluator
 from .meter import MetricsMeter, print_eval_table
 
@@ -28,6 +28,8 @@ def evaluate_split(
     tag: str = "val",
     dataset_key: str = "synth",
     n_generations: int = 1,
+    use_icp: bool = False,
+    icp_refine: bool = False,
 ) -> dict[str, float]:
     """Run the full sampling+metrics protocol over one dataset; returns the
     per-dataset averaged metric dict (floats).
@@ -35,8 +37,22 @@ def evaluate_split(
     With ``n_generations`` > 1 the reference benchmark protocol applies
     (scripts/test_script_example.sh: n_generations=3, rigidity-selected):
     each sample is generated N times and avg / best-of-N / rigidity-selected
-    sections are reported, keyed ``best_of_N/<metric>`` etc."""
-    evaluator = Evaluator(EvalConfig())
+    sections are reported, keyed ``best_of_N/<metric>`` etc.
+
+    ``use_icp`` switches the error *measurement* to the reference's
+    available-but-off ICP protocol (ref eval/metrics.py:177-261
+    ``use_icp=True``: the ICP delta between GT and prediction IS the error,
+    factoring out part symmetry).
+
+    ``icp_refine`` post-refines the predicted poses themselves with batched
+    trimmed ICP against the anchor (registration.refine_poses_icp) before
+    any metric is computed — a TPU-native pipeline capability the reference
+    does not have; report refined numbers alongside raw ones. Note that
+    under refinement ``rigidity_rmse`` measures the size of the ICP
+    correction (poses no longer exactly equal the Kabsch fit of the
+    generated points), so rigidity-selection picks the generation needing
+    the least correction."""
+    evaluator = Evaluator(EvalConfig(use_icp=use_icp))
 
     @jax.jit
     def generate(params, batch, key):
@@ -45,6 +61,8 @@ def evaluate_split(
             return_trajectory=False, num_steps=num_steps,
         )
         R, t = predict_poses(batch, o["points"])
+        if icp_refine:
+            R, t = refine_poses_icp(batch, R, t, iters=50)
         return o["points"], R, t
 
     meter = MetricsMeter()

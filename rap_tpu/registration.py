@@ -208,3 +208,65 @@ def predict_poses(batch: PartBatch, predicted_points: jax.Array):
     return procrustes.fit_transformations(
         batch.points, predicted_points, batch.point_mask
     )
+
+
+def refine_poses_icp(
+    batch: PartBatch,
+    rotations: jax.Array,     # (G, 3, 3)
+    translations: jax.Array,  # (G, 3)
+    iters: int = 30,
+    trim_fraction: float = 0.7,
+):
+    """Trimmed-ICP pose refinement: snap each non-anchor part onto the anchor.
+
+    TPU-native post-registration step with no reference counterpart (the
+    reference always reports the raw flow+Kabsch pose; its ICP machinery is
+    only used to *measure* errors, ref eval/metrics.py:177-261). The flow
+    gives a coarse global registration; when that coarse pose is within the
+    ICP convergence basin, point-to-point refinement between the actual
+    condition clouds recovers the fine alignment the generative endpoint
+    blurs away. Fully batched over (S·P) parts — one vmapped trimmed ICP, no
+    host loop.
+
+    For each valid non-anchor part p of sample s: align the pose-transformed
+    part onto the pose-transformed anchor part of s, keeping only the closest
+    ``trim_fraction`` of correspondences per iteration (partial overlap).
+    The refined pose composes the ICP delta with the input pose; anchor parts
+    and invalid parts are returned unchanged.
+    """
+    from .eval.metrics import icp_point_to_point
+
+    S = batch.S
+    P = parts_per_sample(batch)
+    N = batch.N
+    Rv = rotations.reshape(S, P, 3, 3)
+    tv = translations.reshape(S, P, 3)
+    pts = batch.points.reshape(S, P, N, 3)
+    mask = batch.point_mask.reshape(S, P, N)
+    anchor = batch.anchor_part.reshape(S, P)
+
+    a_idx = jnp.argmax(anchor, axis=1)                                  # (S,)
+    take = lambda arr: jnp.take_along_axis(  # noqa: E731
+        arr, a_idx.reshape((S, 1) + (1,) * (arr.ndim - 2)), axis=1
+    ).squeeze(1)
+    aR, at = take(Rv), take(tv)                                         # (S,3,3),(S,3)
+    a_pts = jnp.einsum("sij,snj->sni", aR, take(pts)) + at[:, None]     # (S,N,3)
+    a_mask = take(mask)                                                 # (S,N)
+
+    cur = jnp.einsum("spij,spnj->spni", Rv, pts) + tv[:, :, None]       # (S,P,N,3)
+    src = cur.reshape(S * P, N, 3)
+    src_m = mask.reshape(S * P, N)
+    tgt = jnp.broadcast_to(a_pts[:, None], (S, P, N, 3)).reshape(S * P, N, 3)
+    tgt_m = jnp.broadcast_to(a_mask[:, None], (S, P, N)).reshape(S * P, N)
+
+    dR, dt = icp_point_to_point(
+        src, src_m, tgt, tgt_m, iters=iters, trim_fraction=trim_fraction
+    )                                                                   # (G,3,3),(G,3)
+
+    R_new = jnp.einsum("gij,gjk->gik", dR, rotations)
+    t_new = jnp.einsum("gij,gj->gi", dR, translations) + dt
+
+    keep = batch.anchor_part | ~batch.part_valid                        # (G,)
+    R_out = jnp.where(keep[:, None, None], rotations, R_new)
+    t_out = jnp.where(keep[:, None], translations, t_new)
+    return R_out, t_out

@@ -85,6 +85,14 @@ def main(argv=None):
                     help=">1 applies the reference benchmark protocol "
                          "(test_script_example.sh): best-of-N + "
                          "rigidity-selected sections")
+    ap.add_argument("--eval-icp", action="store_true",
+                    help="measure errors through the reference's "
+                         "available-but-off ICP protocol (ref eval/metrics.py"
+                         ":177-261 use_icp=True)")
+    ap.add_argument("--eval-icp-refine", action="store_true",
+                    help="post-refine predicted poses with batched trimmed "
+                         "ICP against the anchor before scoring "
+                         "(registration.refine_poses_icp; beyond-reference)")
     args = ap.parse_args(argv)
 
     from rap_tpu.data import BatchLoader, DatasetConfig, LoaderConfig, PointCloudDataset
@@ -218,7 +226,8 @@ def main(argv=None):
         return evaluate_split(
             state.params, pipe, ds,
             batch_tokens=args.batch_tokens, num_steps=args.eval_steps, tag=tag,
-            n_generations=args.eval_generations,
+            n_generations=args.eval_generations, use_icp=args.eval_icp,
+            icp_refine=args.eval_icp_refine,
         )
 
     summary = {

@@ -87,6 +87,99 @@ class TestICP:
         assert np.all(np.asarray(re) < 0.5)
         assert np.all(np.asarray(te) < 5e-3)
 
+    def test_trimmed_icp_pose_refinement_partial_overlap(self):
+        """refine_poses_icp snaps a coarse pose (6 deg / 0.3 off) onto the
+        anchor given ~55% view overlap — the trimmed correspondences keep the
+        non-overlapping region from dragging the fit."""
+        from rap_tpu.core.batch import PartBatch
+        from rap_tpu.registration import refine_poses_icp
+
+        rng = np.random.default_rng(3)
+        # structured scene with irregular sampling (a regular grid would give
+        # ICP a lattice-shifted local optimum) and three orthogonal surfaces
+        # (two would leave one translation axis unconstrained — planes slide)
+        floor = np.stack(
+            [rng.uniform(-1, 1, 500), rng.uniform(-1, 1, 500), np.zeros(500)], -1
+        )
+        wall_y = np.stack(
+            [rng.uniform(-1, 1, 350), np.ones(350), rng.uniform(0, 1, 350)], -1
+        )
+        wall_x = np.stack(
+            [-np.ones(350), rng.uniform(-1, 1, 350), rng.uniform(0, 1, 350)], -1
+        )
+        bumps = rng.uniform(-1, 1, (100, 3))
+        scene = np.concatenate([floor, wall_y, wall_x, bumps]).astype(np.float32)
+        scene += rng.normal(0, 0.005, scene.shape).astype(np.float32)
+        rng.shuffle(scene)
+        n = len(scene)  # 1252
+        v0 = scene[: int(0.7 * n)]          # anchor view
+        v1 = scene[int(0.3 * n):]           # ~57% overlap with v0
+        N = max(len(v0), len(v1))
+
+        # label contract: points @ R_gt^T + t_gt == points_gt; anchor R=I,t=0
+        R_fwd = Rotation.from_euler("zyx", [40, 25, -30], degrees=True).as_matrix()
+        c1 = v1.mean(0)
+        cond1 = (v1 - c1) @ R_fwd.astype(np.float32)   # = (v1-c1) @ (R_gt)^-1
+        R_gt = R_fwd.astype(np.float32)                # cond1 @ R_gt^T + c1 == v1
+        pad = lambda a: np.pad(a, ((0, N - len(a)), (0, 0)))  # noqa: E731
+        mask = np.zeros((2, N), bool)
+        mask[0, : len(v0)] = True
+        mask[1, : len(v1)] = True
+        b = PartBatch(
+            points=jnp.asarray(np.stack([pad(v0), pad(cond1)])),
+            points_gt=jnp.asarray(np.stack([pad(v0), pad(v1)])),
+            local_feats=jnp.zeros((2, N, 4), jnp.float32),
+            point_mask=jnp.asarray(mask),
+            part_valid=jnp.ones(2, bool),
+            sample_of_part=jnp.zeros(2, jnp.int32),
+            anchor_part=jnp.asarray([True, False]),
+            rotations_gt=jnp.asarray(np.stack([np.eye(3, dtype=np.float32), R_gt])),
+            translations_gt=jnp.asarray(
+                np.stack([np.zeros(3, np.float32), c1.astype(np.float32)])
+            ),
+            scale=jnp.ones(1, jnp.float32),
+            sample_valid=jnp.ones(1, bool),
+        )
+        # perturb ONLY the non-anchor pose (a shared perturbation cancels in
+        # anchor-relative errors)
+        dR = jnp.asarray(
+            Rotation.from_euler("zyx", [4, -3, 2], degrees=True).as_matrix(),
+            jnp.float32,
+        )
+        sel = jnp.asarray([0.0, 1.0])[:, None, None]
+        R_pred = jnp.where(
+            sel > 0, jnp.einsum("ij,gjk->gik", dR, b.rotations_gt), b.rotations_gt
+        )
+        t_pred = b.translations_gt + jnp.asarray([0.2, -0.15, 0.1]) * sel[..., 0]
+        re0, te0 = M.transform_errors(b, R_pred, t_pred, anchor_relative=True)
+        R_ref, t_ref = refine_poses_icp(b, R_pred, t_pred, iters=30,
+                                        trim_fraction=0.7)
+        re1, te1 = M.transform_errors(b, R_ref, t_ref, anchor_relative=True)
+        # the coarse error is ~6 deg / ~0.3; refinement lands well under 1 deg/2cm
+        assert float(re0[0]) > 3.0 and float(te0[0]) > 0.2
+        assert float(re1[0]) < 1.0, float(re1[0])
+        assert float(te1[0]) < 0.02, float(te1[0])
+
+    def test_icp_errors_match_direct_errors_for_asymmetric_parts(self):
+        # the reference's use_icp=True protocol measures the SAME pose error
+        # through ICP alignment (it only differs for shape-symmetric parts,
+        # ref metrics.py:182 "factor out the symmetry of parts"): for random
+        # asymmetric parts with exact correspondences the ICP delta equals
+        # the true perturbation, so errors agree with the direct algebra.
+        b = _batch(S=2)
+        dR = jnp.asarray(
+            Rotation.from_euler("zyx", [4, -3, 2], degrees=True).as_matrix(),
+            jnp.float32,
+        )
+        R_pred = jnp.einsum("ij,gjk->gik", dR, b.rotations_gt)
+        t_pred = b.translations_gt + jnp.asarray([0.03, -0.02, 0.01])
+        re_raw, _ = M.transform_errors(b, R_pred, t_pred, anchor_relative=False)
+        re_icp, _ = M.transform_errors_icp(b, R_pred, t_pred, iters=30)
+        valid = np.isfinite(np.asarray(re_raw))
+        np.testing.assert_allclose(
+            np.asarray(re_icp)[valid], np.asarray(re_raw)[valid], rtol=0.15
+        )
+
 
 class TestPartAccuracy:
     def test_perfect_prediction_gives_one(self):
