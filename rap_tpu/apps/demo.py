@@ -37,7 +37,7 @@ import numpy as np
 from ..config import load_config
 from ..data.dataset import augment_sample
 from ..ops import points as P
-from ..registration import predict_poses, sample
+from ..registration import predict_poses, refine_poses_icp, sample
 from ..utils import ply as plyio
 
 logger = logging.getLogger("rap_tpu.demo")
@@ -270,6 +270,11 @@ def run_demo(args) -> int:
                 pick(rig, best[3]),
             ), rig
         best, rigs = jax.lax.scan(body, (pts0, R0, t0, rig0), keys[1:])
+        if args.icp_refine:
+            # snap the selected coarse poses onto the anchor with batched
+            # trimmed ICP (registration.refine_poses_icp; beyond-reference)
+            R_r, t_r = refine_poses_icp(batch, best[1], best[2])
+            best = (best[0], R_r, t_r, best[3])
         return best, jnp.concatenate([rig0[None], rigs])
 
     logger.info("registering (%d steps, %d generation(s))...", args.num_steps, args.n_generations)
@@ -361,6 +366,9 @@ def main(argv=None):
     ap.add_argument("--n-generations", type=int, default=1)
     ap.add_argument("--rigidity-forcing", action="store_true", default=True)
     ap.add_argument("--no-rigidity-forcing", dest="rigidity_forcing", action="store_false")
+    ap.add_argument("--icp-refine", action="store_true",
+                    help="post-refine the selected poses with batched "
+                         "trimmed ICP against the anchor part")
     ap.add_argument("--adaptive-parameters", action="store_true", default=True)
     ap.add_argument("--no-adaptive-parameters", dest="adaptive_parameters", action="store_false")
     ap.add_argument("--voxel-size", type=float, default=0.25)

@@ -186,6 +186,7 @@ class TestDemoCLI:
             "-out", str(tmp_path / "out"),
             "--num-steps", "2",
             "--n-generations", "3",
+            "--icp-refine",
             "--max-points-per-part", "192",
             "-o", "model.num_layers=1",
             "-o", "model.embed_dim=64",
@@ -195,6 +196,9 @@ class TestDemoCLI:
         assert rc == 0
         T = np.loadtxt(tmp_path / "out" / "part1_transform.txt")
         assert T.shape == (4, 4) and np.isfinite(T).all()
+        # the refined pose is still a proper rigid transform
+        R = T[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
 
     def test_output_generated(self, tmp_path):
         rng = np.random.default_rng(1)
