@@ -30,6 +30,7 @@ def evaluate_split(
     n_generations: int = 1,
     use_icp: bool = False,
     icp_refine: bool = False,
+    icp_refine_trim: float = 0.7,
 ) -> dict[str, float]:
     """Run the full sampling+metrics protocol over one dataset; returns the
     per-dataset averaged metric dict (floats).
@@ -62,7 +63,9 @@ def evaluate_split(
         )
         R, t = predict_poses(batch, o["points"])
         if icp_refine:
-            R, t = refine_poses_icp(batch, R, t, iters=50)
+            R, t = refine_poses_icp(
+                batch, R, t, iters=50, trim_fraction=icp_refine_trim
+            )
         return o["points"], R, t
 
     meter = MetricsMeter()

@@ -93,6 +93,9 @@ def main(argv=None):
                     help="post-refine predicted poses with batched trimmed "
                          "ICP against the anchor before scoring "
                          "(registration.refine_poses_icp; beyond-reference)")
+    ap.add_argument("--eval-icp-trim", type=float, default=0.7,
+                    help="trimmed-ICP correspondence fraction for "
+                         "--eval-icp-refine")
     args = ap.parse_args(argv)
 
     from rap_tpu.data import BatchLoader, DatasetConfig, LoaderConfig, PointCloudDataset
@@ -228,6 +231,7 @@ def main(argv=None):
             batch_tokens=args.batch_tokens, num_steps=args.eval_steps, tag=tag,
             n_generations=args.eval_generations, use_icp=args.eval_icp,
             icp_refine=args.eval_icp_refine,
+            icp_refine_trim=args.eval_icp_trim,
         )
 
     summary = {
