@@ -26,8 +26,11 @@ class DiTConfig:
     local_feat_concat_on: bool = True
     qk_norm: bool = True
     softcap: float = 0.0
-    # the reference plumbs FF dropout (layer.py:32) but every shipped config
-    # leaves it 0.0; not implemented here — nonzero raises (loud, not silent)
+    # FF dropout between the GEGLU activation and the out-projection
+    # (ref layer.py:32 -> diffusers FeedForward [GEGLU, Dropout, Linear]).
+    # Every shipped reference config trains with 0.0; nonzero routes the FF
+    # through the XLA composition (training only — callers must pass a
+    # dropout key; inference never does, so eval is deterministic).
     dropout_rate: float = 0.0
     time_embed_channels: int = 256  # sinusoidal timestep channels
     compute_dtype: jnp.dtype = jnp.bfloat16  # attention/matmul dtype (ref: fp16)
@@ -35,11 +38,8 @@ class DiTConfig:
     ff_impl: str = "auto"          # xla | pallas | auto (fused GEGLU kernel)
 
     def __post_init__(self):
-        if self.dropout_rate:
-            raise NotImplementedError(
-                "dropout is not implemented (every reference config trains "
-                "with dropout_rate=0.0); set it to 0"
-            )
+        if not 0.0 <= self.dropout_rate < 1.0:
+            raise ValueError(f"dropout_rate must be in [0, 1): {self.dropout_rate}")
 
     @property
     def head_dim(self) -> int:

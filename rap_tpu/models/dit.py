@@ -268,10 +268,34 @@ def _attention_block(
     return x + _linear(lp[f"{prefix}_out"], out)
 
 
-def _geglu_ff(lp, x, impl: str = "auto"):
+def _geglu_ff(lp, x, impl: str = "auto", dropout_rate: float = 0.0,
+              dropout_key: jax.Array | None = None):
     """x + LayerNorm+GEGLU feed-forward, residual included (diffusers layout:
     hidden, gate = split). Routes through the fused Pallas kernel on TPU
-    (ops/fused_ff.py) and the plain XLA composition elsewhere."""
+    (ops/fused_ff.py) and the plain XLA composition elsewhere.
+
+    With ``dropout_rate > 0`` and a key, applies inverted dropout between the
+    GEGLU activation and the out-projection (ref layer.py:32 -> diffusers
+    FeedForward [GEGLU, Dropout, Linear]) via the XLA composition — the
+    fused kernel stays dropout-free (every shipped config infers/evals at 0)."""
+    if dropout_rate > 0.0 and dropout_key is not None:
+        dh = lp["ff_out"]["kernel"].shape[0]
+        h = _layer_norm(
+            x, lp["ff_norm"]["scale"], lp["ff_norm"]["bias"]
+        ).astype(x.dtype)
+        proj = h @ lp["ff_in"]["kernel"].astype(x.dtype) + lp["ff_in"][
+            "bias"
+        ].astype(x.dtype)
+        hidden, gate = proj[..., :dh], proj[..., dh:]
+        act = hidden * jax.nn.gelu(
+            gate.astype(jnp.float32), approximate=False
+        ).astype(x.dtype)
+        keep = jax.random.bernoulli(dropout_key, 1.0 - dropout_rate, act.shape)
+        act = jnp.where(keep, act / (1.0 - dropout_rate), 0.0).astype(x.dtype)
+        return x + (
+            act @ lp["ff_out"]["kernel"].astype(x.dtype)
+            + lp["ff_out"]["bias"].astype(x.dtype)
+        )
     from ..ops.fused_ff import geglu_ff
 
     return geglu_ff(
@@ -297,6 +321,7 @@ def dit_forward(
     remat: bool = False,
     ring_mesh=None,
     latent: jax.Array | None = None,
+    dropout_key: jax.Array | None = None,
 ):
     """Predict the velocity field. Returns (G, N, out_dim) fp32 [, features].
 
@@ -350,18 +375,27 @@ def dit_forward(
     t_emb = sinusoidal_timestep_embedding(t_part, cfg.time_embed_channels)
 
     # ---- transformer layers (scan over stacked params) --------------------
-    def layer_fn(h, lp):
+    drop_on = cfg.dropout_rate > 0.0 and dropout_key is not None
+
+    def layer_fn(h, xs):
+        lp, dkey = xs if drop_on else (xs, None)
         # each sub-block returns h + branch (residuals fused into kernels)
         h = _attention_block(lp, "self", h, t_emb, mask, cfg, S, P, False)
         h = _attention_block(
             lp, "global", h, t_emb, mask, cfg, S, P, True, ring_mesh=ring_mesh
         )
-        h = _geglu_ff(lp, h, impl=cfg.ff_impl)
+        h = _geglu_ff(lp, h, impl=cfg.ff_impl,
+                      dropout_rate=cfg.dropout_rate, dropout_key=dkey)
         return h, None
 
     if remat:
         layer_fn = jax.checkpoint(layer_fn)
-    h, _ = jax.lax.scan(layer_fn, h, params["layers"])
+    xs = (
+        (params["layers"], jax.random.split(dropout_key, cfg.num_layers))
+        if drop_on
+        else params["layers"]
+    )
+    h, _ = jax.lax.scan(layer_fn, h, xs)
 
     # ---- fp32 head --------------------------------------------------------
     hf = h.astype(jnp.float32)

@@ -88,7 +88,7 @@ def training_forward(
     1-rectified flow, modeling.py:186-201); this is the TPU-side route past
     the per-pair-FLOP ceiling documented in BASELINE.md.
     """
-    k_t, k_noise = jax.random.split(rng)
+    k_t, k_noise, k_drop = jax.random.split(rng, 3)
     t_sample = flow.sample_timesteps(k_t, batch.S, cfg.timestep_sampling)  # (S,)
     # invalid sample slots keep a valid t (masked out of the loss anyway)
     x_0 = batch.points_gt
@@ -105,6 +105,7 @@ def training_forward(
         batch,
         parts_per_sample=parts_per_sample(batch),
         remat=remat,
+        dropout_key=k_drop if cfg.model.dropout_rate > 0.0 else None,
     )
     loss = flow.velocity_loss(v_pred, v_t, batch.point_mask, cfg.loss_type)
     n_pred, n_t = flow.velocity_norms(v_pred, v_t, batch.point_mask)

@@ -1,5 +1,6 @@
 """Tests for the attention primitive and the PointCloudDiT model."""
 
+import dataclasses
 import math
 
 import jax
@@ -141,13 +142,48 @@ class TestDiT:
                            latent=lat)
         assert float(jnp.abs(out0 - out1).max()) > 1e-6
 
-    def test_dropout_rate_raises(self):
+    def test_dropout_rate_validated(self):
         import pytest
 
         from rap_tpu.models import DiTConfig
 
-        with pytest.raises(NotImplementedError):
-            DiTConfig(dropout_rate=0.1)
+        with pytest.raises(ValueError):
+            DiTConfig(dropout_rate=1.5)
+
+    def test_ff_dropout_semantics(self):
+        """FF dropout (ref layer.py:32): stochastic given a key, exactly the
+        deterministic forward without one, keys change the pattern, and the
+        no-dropout path is untouched at rate 0."""
+        cfg = dataclasses.replace(CFG_TINY, dropout_rate=0.3)
+        b = _tiny_batch()
+        params = init_dit_params(jax.random.key(0), cfg)
+        x = jax.random.normal(jax.random.key(1), b.points.shape)
+        t = jnp.asarray([0.5, 0.9])
+        kw = dict(parts_per_sample=2)
+        v_det = dit_forward(params, cfg, x, t, b, **kw)          # no key
+        v_det0 = dit_forward(params, CFG_TINY, x, t, b, **kw)    # rate 0
+        np.testing.assert_allclose(np.asarray(v_det), np.asarray(v_det0),
+                                   atol=1e-6)
+        v_a = dit_forward(params, cfg, x, t, b,
+                          dropout_key=jax.random.key(7), **kw)
+        v_a2 = dit_forward(params, cfg, x, t, b,
+                           dropout_key=jax.random.key(7), **kw)
+        v_b = dit_forward(params, cfg, x, t, b,
+                          dropout_key=jax.random.key(8), **kw)
+        np.testing.assert_allclose(np.asarray(v_a), np.asarray(v_a2), atol=1e-6)
+        assert not np.allclose(np.asarray(v_a), np.asarray(v_det), atol=1e-4)
+        assert not np.allclose(np.asarray(v_a), np.asarray(v_b), atol=1e-4)
+        # gradients flow through the dropout path
+        def loss(p):
+            return jnp.sum(
+                dit_forward(p, cfg, x, t, b,
+                            dropout_key=jax.random.key(7), **kw) ** 2
+            )
+        g = jax.grad(loss)(params)
+        gn = jax.tree_util.tree_reduce(
+            lambda a, l: a + float(jnp.abs(l).sum()), g, 0.0
+        )
+        assert np.isfinite(gn) and gn > 0
 
     def test_forward_shapes_and_dtype(self):
         b = _tiny_batch()
