@@ -55,6 +55,54 @@ def save_checkpoint(path: str | Path, state, metadata: dict | None = None) -> No
         (path / "rap_metadata.json").write_text(json.dumps(metadata, indent=2))
 
 
+def save_params_npz(path: str | Path, params, dtype=jnp.bfloat16) -> None:
+    """Export a params pytree as one compressed .npz (params only, cast to
+    ``dtype``) — the compact, git-committable distribution format for
+    trained models (the reference ships .ckpt files on HF; this fills the
+    same deliver-a-trained-model role without orbax's directory layout).
+    bf16 arrays are stored as uint16 raw bits (npz has no bf16 dtype)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out: dict[str, np.ndarray] = {}
+    for kp, leaf in flat:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in kp)
+        arr = np.asarray(jnp.asarray(leaf).astype(dtype))
+        if arr.dtype == jnp.bfloat16:
+            out["BF16:" + key] = arr.view(np.uint16)
+        else:
+            out[key] = arr
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, **out)
+
+
+def load_params_npz(path: str | Path, target=None):
+    """Load a save_params_npz export. With ``target`` (a params pytree of
+    the right structure), returns it with loaded values cast to each
+    target leaf's dtype; without, returns a flat {path: array} dict."""
+    data = np.load(Path(path))
+    flat = {}
+    for k in data.files:
+        if k.startswith("BF16:"):
+            flat[k[5:]] = data[k].view(jnp.bfloat16)
+        else:
+            flat[k] = data[k]
+    if target is None:
+        return flat
+    paths, treedef = jax.tree_util.tree_flatten_with_path(target)
+    leaves = []
+    for kp, leaf in paths:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in kp)
+        if key not in flat:
+            raise KeyError(f"missing param in npz: {key}")
+        arr = flat[key]
+        if arr.shape != leaf.shape:
+            raise ValueError(f"{key}: shape {arr.shape} != {leaf.shape}")
+        leaves.append(jnp.asarray(arr).astype(leaf.dtype))
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(target), leaves
+    )
+
+
 def restore_checkpoint(path: str | Path, target):
     """Restore into the structure of `target` (a matching pytree)."""
     import orbax.checkpoint as ocp

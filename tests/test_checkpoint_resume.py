@@ -66,6 +66,32 @@ def test_resume_is_invisible(tmp_path):
     np.testing.assert_allclose(losses_resumed, losses_ref[3:], rtol=1e-6)
 
 
+def test_params_npz_roundtrip(tmp_path):
+    """save_params_npz/load_params_npz: bf16 export reloads into the params
+    structure within bf16 precision; missing/mismatched keys fail loudly."""
+    import pytest
+
+    from rap_tpu.train.checkpoint import load_params_npz, save_params_npz
+
+    cfg = DiTConfig(embed_dim=64, num_layers=2, num_heads=4, local_feat_dim=8)
+    p = init_dit_params(jax.random.key(0), cfg)
+    f = tmp_path / "m.npz"
+    save_params_npz(f, p)
+    q = load_params_npz(f, p)
+    rel = jax.tree_util.tree_map(
+        lambda a, b: float(
+            jnp.abs(a - b.astype(a.dtype)).max() / (jnp.abs(a).max() + 1e-9)
+        ),
+        p, q,
+    )
+    assert max(jax.tree_util.tree_leaves(rel)) < 0.01
+    # structure mismatch fails loudly
+    bigger = init_dit_params(jax.random.key(0), DiTConfig(
+        embed_dim=128, num_layers=2, num_heads=4, local_feat_dim=8))
+    with pytest.raises((KeyError, ValueError)):
+        load_params_npz(f, bigger)
+
+
 class TestMuonGrouping:
     def test_mask_routes_per_layer_vectors_to_adamw(self):
         """Stacked (L, D) biases/norm gains are per-layer vectors -> AdamW;
