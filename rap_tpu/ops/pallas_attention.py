@@ -479,8 +479,136 @@ def _flash_bwd_dq_kernel(
         dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
 
 
+def _flash_bwd_fused_kernel(
+    q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+    *, softcap: float, num_q_blocks: int,
+):
+    """Single-pass backward: one tile recompute feeds dQ, dK and dV.
+
+    Grid (BH, nk, nq), q innermost; dk/dv accumulate in VMEM scratch across
+    the q sweep (same as the split dKV kernel), while the dq contribution of
+    this kv block is written to a per-kv-block PARTIAL output slab summed in
+    XLA afterwards (a dq VMEM accumulator is impossible here — the q block
+    changes every inner step, and Mosaic flushes an output block on revisit).
+    Versus the split two-kernel backward this computes the QK^T recompute,
+    the dO·V^T matmul and the whole softmax-gradient VPU chain ONCE instead
+    of twice: 5 matmul units per tile instead of 7.
+
+    No `pl.when(any(mask))` guard: vector-derived predicates PREDICATE on
+    Mosaic (both sides execute — see module notes), so the guard buys no
+    time; fully-masked keys already yield p = dz = 0 through the NEG_INF
+    logits, and fully-masked query rows through the LSE_EMPTY sentinel.
+    """
+    i = pl.program_id(2)  # q block (innermost)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    mask = mask_ref[0, 0, :] > 0
+    all_valid = jnp.all(mask)
+    q = q_ref[0]
+    do = do_ref[0]                        # storage dtype (bf16) for MXU
+    lse_row = lse_ref[0, 0][:, None]      # (BQ, 1)
+    delta_row = delta_ref[0, 0][:, None]  # (BQ, 1)
+    p, dz = _recompute_p_ds(
+        q, k_ref[0], mask, all_valid, lse_row, do, v_ref[0], delta_row,
+        softcap,
+    )
+    # dV += p^T dO ; dK += dz^T Q — bf16 operands, fp32 accumulation
+    dv_acc[:] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dk_acc[:] += jax.lax.dot_general(
+        dz, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # this kv block's dq contribution, fp32 partial (summed over kv in XLA)
+    dq_ref[0, 0] = jax.lax.dot_general(
+        dz, k_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd_fused_impl(qh, kh, vh, maski, out, lse, doh, softcap,
+                    block_q, block_k, interpret):
+    BH, Tqp, d = qh.shape
+    Tkp = kh.shape[1]
+    B = maski.shape[0]
+    H = BH // B
+    nq, nk = Tqp // block_q, Tkp // block_k
+
+    delta = jnp.sum(
+        doh.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )[:, None, :]  # (BH, 1, Tqp)
+
+    dq_part, dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_fused_kernel, softcap=softcap, num_q_blocks=nq,
+        ),
+        grid=(BH, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),   # q
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),   # k
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),   # v
+            pl.BlockSpec((1, 1, block_k), lambda b, j, i: (b // H, 0, j)),
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),   # do
+            pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i)),   # lse
+            pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i)),   # delta
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b, j, i: (b, j, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, nk, Tqp, d), jnp.float32),
+            jax.ShapeDtypeStruct((BH, Tkp, d), kh.dtype),
+            jax.ShapeDtypeStruct((BH, Tkp, d), vh.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qh, kh, vh, maski, doh, lse, delta)
+    dq = dq_part.sum(axis=1).astype(qh.dtype)
+    return dq, dk, dv
+
+
+# backward implementation selector: "fused" (default — single-pass kernel)
+# or "split" (the original two-kernel recompute). Module-level so the
+# tune_attention sweep can flip it without re-plumbing every wrapper.
+BWD_IMPL = "fused"
+
+# dq-partials slab cap for the fused backward: (BH, nk, Tq, d) fp32. Beyond
+# this the split backward's flat memory profile wins.
+_FUSED_DQ_PARTIALS_CAP = 2 * 2**30
+
+
 def _bwd_impl(qh, kh, vh, maski, out, lse, doh, softcap,
               block_q, block_k, interpret):
+    BH, Tqp, d = qh.shape
+    nk = kh.shape[1] // block_k
+    fused_bytes = BH * nk * Tqp * d * 4
+    if BWD_IMPL == "fused" and fused_bytes <= _FUSED_DQ_PARTIALS_CAP:
+        return _bwd_fused_impl(
+            qh, kh, vh, maski, out, lse, doh, softcap, block_q, block_k,
+            interpret,
+        )
+    return _bwd_split_impl(
+        qh, kh, vh, maski, out, lse, doh, softcap, block_q, block_k, interpret
+    )
+
+
+def _bwd_split_impl(qh, kh, vh, maski, out, lse, doh, softcap,
+                    block_q, block_k, interpret):
     BH, Tqp, d = qh.shape
     Tkp = kh.shape[1]
     B = maski.shape[0]

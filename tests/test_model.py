@@ -353,6 +353,67 @@ class TestPallasAttention:
     def test_backward_parity_softcap(self):
         self._grad_parity(softcap=4.0)
 
+    def test_backward_fused_matches_split(self):
+        """The single-pass fused backward and the two-kernel split backward
+        are the same math scheduled differently — grads must agree to
+        accumulation-order noise (both on the padded masked path AND the
+        no-padding fixed-bound path)."""
+        from rap_tpu.ops import pallas_attention as pa
+
+        ks = jax.random.split(jax.random.key(11), 5)
+        B, T, H, d = 2, 384, 2, 64
+        q = jax.random.normal(ks[0], (B, T, H, d))
+        k = jax.random.normal(ks[1], (B, T, H, d))
+        v = jax.random.normal(ks[2], (B, T, H, d))
+        mask = jax.random.uniform(ks[3], (B, T)) > 0.3
+        w = jax.random.normal(ks[4], (B, T, H, d))
+
+        def grads(kv_mask):
+            def loss(q, k, v):
+                o = pa.flash_attention(q, k, v, kv_mask, interpret=True,
+                                       block_q=128, block_k=128)
+                return jnp.sum(o * w)
+            return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+        for kv_mask in (mask, None):
+            try:
+                pa.BWD_IMPL = "fused"
+                gf = grads(kv_mask)
+                pa.BWD_IMPL = "split"
+                gs = grads(kv_mask)
+            finally:
+                pa.BWD_IMPL = "fused"
+            for a, b, name in zip(gf, gs, "qkv"):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4,
+                    err_msg=f"d{name} fused != split (mask={kv_mask is not None})",
+                )
+
+    def test_backward_fused_partials_cap_falls_back(self):
+        """Above the dq-partials slab cap the selector must take the split
+        path (same grads, flat memory)."""
+        from rap_tpu.ops import pallas_attention as pa
+
+        ks = jax.random.split(jax.random.key(12), 3)
+        B, T, H, d = 1, 256, 1, 64
+        q, k, v = (jax.random.normal(kk, (B, T, H, d)) for kk in ks)
+
+        def loss(q):
+            o = pa.flash_attention(q, k, v, None, interpret=True,
+                                   block_q=128, block_k=128)
+            return jnp.sum(o**2)
+
+        g_fused = jax.grad(loss)(q)
+        old = pa._FUSED_DQ_PARTIALS_CAP
+        try:
+            pa._FUSED_DQ_PARTIALS_CAP = 0  # force the fallback branch
+            g_split = jax.grad(loss)(q)
+        finally:
+            pa._FUSED_DQ_PARTIALS_CAP = old
+        np.testing.assert_allclose(
+            np.asarray(g_fused), np.asarray(g_split), atol=2e-5, rtol=1e-4
+        )
+
     def test_backward_fully_masked_rows_zero_grads(self):
         from rap_tpu.ops.pallas_attention import flash_attention
 
