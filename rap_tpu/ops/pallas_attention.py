@@ -310,8 +310,8 @@ def _flash_hm_full_va_bwd(softcap, block_q, block_k, interpret, res, dout):
     vh = vha[:, :, :d]
     B = 1  # all-valid mask shared by every (batch, head) row
     maski = jnp.ones((B, 1, kh.shape[1]), jnp.int32)
-    bq = _divisor_cap(block_q, 512)
-    bk = _divisor_cap(block_k, 1024)
+    bq = _divisor_cap(block_q, BWD_BQ_CAP)
+    bk = _divisor_cap(block_k, BWD_BK_CAP)
     dq, dk, dv = _bwd_impl(
         qh, kh, vh, maski, out, lse, dout.astype(qh.dtype),
         softcap, bq, bk, interpret,
@@ -587,6 +587,12 @@ def _bwd_fused_impl(qh, kh, vh, maski, out, lse, doh, softcap,
 # tune_attention sweep can flip it without re-plumbing every wrapper.
 BWD_IMPL = "fused"
 
+# backward block-size caps (the forward's larger blocks blow the ~16 MB
+# scoped-VMEM limit in the backward, which keeps ~4 live (BQ, BK) fp32
+# tiles). Module-level for the tune_attention bwd sweep.
+BWD_BQ_CAP = 512
+BWD_BK_CAP = 1024
+
 # dq-partials slab cap for the fused backward: (BH, nk, Tq, d) fp32. Beyond
 # this the split backward's flat memory profile wins.
 _FUSED_DQ_PARTIALS_CAP = 2 * 2**30
@@ -709,8 +715,8 @@ def _flash_hm_bwd(softcap, block_q, block_k, interpret, res, dout):
     # v5e (measured: 18.4M at (1024, 2048)); (512, 1024) fits and sweeps
     # fastest (28.6 vs 26.6 TFLOP/s fwd+bwd at a 512 k-cap; train step
     # 229 -> 216 ms). Caps must divide the forward-padded sequence lengths.
-    bq = _divisor_cap(block_q, 512)
-    bk = _divisor_cap(block_k, 1024)
+    bq = _divisor_cap(block_q, BWD_BQ_CAP)
+    bk = _divisor_cap(block_k, BWD_BK_CAP)
     dq, dk, dv = _bwd_impl(
         qh, kh, vh, maski, out, lse, dout.astype(qh.dtype),
         softcap, bq, bk, interpret,

@@ -57,9 +57,14 @@ def kernel_sweep():
 
 
 def bwd_sweep():
-    from rap_tpu.ops.pallas_attention import flash_attention
+    """fwd+bwd sweep over (impl, bwd block caps). Timings amortized over a
+    K-iteration lax.scan inside one jit (single calls carry ~25 ms tunnel
+    RTT) with per-iteration input variation (identical inputs can hit the
+    tunnel result cache and return instantly)."""
+    from rap_tpu.ops import pallas_attention as pa
 
     B, T, H, d = 8, 8192, 8, 64
+    K = 8
     ks = jax.random.split(jax.random.key(0), 3)
     q = jax.random.normal(ks[0], (B, T, H, d), jnp.bfloat16)
     k = jax.random.normal(ks[1], (B, T, H, d), jnp.bfloat16)
@@ -67,27 +72,53 @@ def bwd_sweep():
     mask = jnp.ones((B, T), bool)
     flops = 10.0 * B * H * T * T * d  # fwd 4 + bwd ~6 (dv,dp,dk,dq + recompute)
 
-    print("fwd+bwd sweep:")
-    for bq in (256, 512, 1024):
-        for bk in (512, 1024):
-            try:
+    print(f"fwd+bwd sweep (scan x{K} amortized):")
+    results = []
+    for impl in ("fused", "split"):
+        pa.BWD_IMPL = impl
+        for bq in (256, 512, 1024):
+            for bk in (512, 1024, 2048):
                 def loss(q, k, v):
                     return jnp.sum(
-                        flash_attention(q, k, v, mask, block_q=bq, block_k=bk)
+                        pa.flash_attention(q, k, v, mask, block_q=1024,
+                                           block_k=2048)
                         .astype(jnp.float32) ** 2
                     )
 
-                g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
-                jax.block_until_ready(g(q, k, v))
-                times = []
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    jax.block_until_ready(g(q, k, v))
-                    times.append(time.perf_counter() - t0)
-                dt = float(np.median(times))
-                print(f"  bq={bq:5d} bk={bk:5d}: {dt*1e3:7.2f} ms  {flops/dt/1e12:6.1f} TFLOP/s")
-            except Exception as e:
-                print(f"  bq={bq:5d} bk={bk:5d}: FAIL {type(e).__name__}: {str(e)[:80]}")
+                grad = jax.grad(loss, argnums=(0, 1, 2))
+
+                def body(c, i):
+                    qq = q * (1.0 + i.astype(jnp.bfloat16) * 1e-6)
+                    dq, dk, dv = grad(qq, k, v)
+                    return c, dq[0, 0, 0, 0]
+
+                def run(q, k, v):
+                    _, ys = jax.lax.scan(body, 0, jnp.arange(K))
+                    return ys
+
+                try:
+                    pa.BWD_BQ_CAP, pa.BWD_BK_CAP = bq, bk
+                    f = jax.jit(run)
+                    jax.block_until_ready(f(q, k, v))
+                    times = []
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        jax.block_until_ready(f(q, k, v))
+                        times.append((time.perf_counter() - t0) / K)
+                    dt = float(np.median(times))
+                    tf = flops / dt / 1e12
+                    results.append((tf, impl, bq, bk))
+                    print(f"  {impl:5s} bq={bq:5d} bk={bk:5d}: "
+                          f"{dt*1e3:7.2f} ms  {tf:6.1f} TFLOP/s")
+                except Exception as e:
+                    print(f"  {impl:5s} bq={bq:5d} bk={bk:5d}: FAIL "
+                          f"{type(e).__name__}: {str(e)[:80]}")
+                finally:
+                    pa.BWD_BQ_CAP, pa.BWD_BK_CAP = 512, 1024
+        pa.BWD_IMPL = "fused"
+    if results:
+        best = max(results)
+        print(f"BEST: {best[1]} bq={best[2]} bk={best[3]} -> {best[0]:.1f} TFLOP/s")
 
 
 def pairs_sweep():
