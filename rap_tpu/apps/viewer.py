@@ -333,6 +333,88 @@ def browse_samples(data_dir, out_dir, pca: bool = True, limit: int = 0):
     return written
 
 
+# ---------------------------------------------------------------------------
+# interactive HTML export (the TPU-first answer to the reference's Open3D GUIs)
+# ---------------------------------------------------------------------------
+
+def export_results_html(
+    results_dir, out_html, input_dir=None, generation: str | int = 0,
+    limit: int = 0, max_points: int = 80_000,
+) -> Path:
+    """Bundle a results dir into one self-contained interactive HTML viewer
+    (apps/html_viewer.py). With ``input_dir``, each sample carries BOTH the
+    raw input clouds and the estimated-pose-applied state, toggleable in the
+    browser ('g') — the reference viewer's before/after interaction
+    (visualize_registered_pointclouds.py), with no display server needed."""
+    from .html_viewer import build_sample, export_html
+
+    dirs = discover_result_samples(results_dir)
+    if limit:
+        dirs = dirs[:limit]
+    input_parts = input_indices = None
+    if input_dir is not None:
+        files = _sorted_by_part(Path(input_dir).glob("*.ply"))
+        input_parts = [plyio.read_ply(f)["points"] for f in files]
+        idxs = [_part_index(f) for f in files]
+        input_indices = (
+            idxs if all(i >= 0 for i in idxs) else list(range(len(files)))
+        )
+    html_samples = []
+    basis = None
+    for sd in dirs:
+        try:
+            rs = load_result_sample(sd, generation=generation)
+        except FileNotFoundError as e:
+            logger.warning("%s", e)
+            continue
+        if input_parts is not None and rs.transforms:
+            posed = apply_estimated_poses(
+                input_parts, input_indices, rs.transforms
+            )
+            s, basis = build_sample(
+                rs.name, input_parts, parts_alt=posed,
+                max_points=max_points, pca_basis=basis,
+            )
+        else:
+            s, basis = build_sample(
+                rs.name, rs.parts, max_points=max_points, pca_basis=basis
+            )
+        html_samples.append(s)
+    out = export_html(html_samples, out_html)
+    logger.info("wrote interactive viewer: %s (%d samples)", out, len(html_samples))
+    return out
+
+
+def export_samples_html(
+    data_dir, out_html, limit: int = 0, max_points: int = 80_000
+) -> Path:
+    """Bundle training-sample folders (parts + feature sidecars) into the
+    interactive HTML viewer with part/PCA/height color modes (the reference's
+    visualize_sample_features.py surface)."""
+    from .html_viewer import build_sample, export_html
+
+    root = Path(data_dir)
+    sample_dirs = sorted(
+        d for d in root.iterdir() if d.is_dir() and list(d.glob("*.ply"))
+    )
+    if limit:
+        sample_dirs = sample_dirs[:limit]
+    html_samples = []
+    basis = None
+    for sd in sample_dirs:
+        parts, feats = load_sample_folder(sd)
+        if not parts:
+            continue
+        s, basis = build_sample(
+            sd.name, parts, features=feats, max_points=max_points,
+            pca_basis=basis,
+        )
+        html_samples.append(s)
+    out = export_html(html_samples, out_html)
+    logger.info("wrote interactive viewer: %s (%d samples)", out, len(html_samples))
+    return out
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, stream=sys.stderr)
     ap = argparse.ArgumentParser(description=__doc__)
@@ -354,11 +436,16 @@ def main(argv=None):
                         "equivalent of the reference viewer's camera orbit)")
     r.add_argument("--compare", action="store_true",
                    help="side-by-side input|result panel (needs --input-dir)")
+    r.add_argument("--html", default=None, metavar="FILE",
+                   help="ALSO export a self-contained interactive WebGL "
+                        "viewer (orbit/zoom/pan, pose toggle) to FILE")
     s = sub.add_parser("samples", help="browse training-sample folders")
     s.add_argument("--data-dir", required=True)
     s.add_argument("-o", "--output", default="viewer_output")
     s.add_argument("--no-pca", dest="pca", action="store_false")
     s.add_argument("--limit", type=int, default=0)
+    s.add_argument("--html", default=None, metavar="FILE",
+                   help="ALSO export the interactive WebGL viewer to FILE")
     args = ap.parse_args(argv)
     if args.mode == "results":
         browse_results(
@@ -367,8 +454,15 @@ def main(argv=None):
             input_dir=args.input_dir, renderer=args.renderer,
             orbit=args.orbit, compare=args.compare,
         )
+        if args.html:
+            export_results_html(
+                args.results_dir, args.html, input_dir=args.input_dir,
+                generation=args.generation, limit=args.limit,
+            )
     else:
         browse_samples(args.data_dir, args.output, pca=args.pca, limit=args.limit)
+        if args.html:
+            export_samples_html(args.data_dir, args.html, limit=args.limit)
     return 0
 
 

@@ -150,3 +150,93 @@ def test_apply_poses_refuses_registered_and_uses_input_dir(tmp_path, caplog):
         rs, out, apply_poses=True, input_parts=inputs, input_indices=[0, 1]
     )
     assert w
+
+
+class TestHtmlViewer:
+    """Self-contained interactive WebGL export (apps/html_viewer.py) — the
+    headless replacement for the reference's Open3D GUI viewers
+    (visualize_registered_pointclouds.py, visualize_sample_features.py)."""
+
+    def _decode(self, html, key, dtype, entry=0):
+        import base64
+        import json
+        import re
+
+        m = re.search(r"const DATA = (\[.*?\]);\n", html, re.S)
+        data = json.loads(m.group(1))
+        e = data[entry]
+        val = e[key] if key in ("pos", "posAlt") else e["colors"][key]
+        return data, np.frombuffer(base64.b64decode(val), dtype)
+
+    def test_export_roundtrips_points_and_colors(self, tmp_path):
+        from rap_tpu.apps.html_viewer import build_sample, export_html
+
+        rng = np.random.default_rng(0)
+        parts = [rng.standard_normal((40, 3)), rng.standard_normal((30, 3))]
+        feats = [rng.standard_normal((40, 8)).astype(np.float32),
+                 rng.standard_normal((30, 8)).astype(np.float32)]
+        s, basis = build_sample("scene", parts, features=feats)
+        assert basis is not None
+        out = export_html([s], tmp_path / "v.html")
+        html = out.read_text()
+        data, pos = self._decode(html, "pos", np.float32)
+        assert data[0]["name"] == "scene" and data[0]["n"] == 70
+        np.testing.assert_allclose(
+            pos.reshape(70, 3), np.concatenate(parts).astype(np.float32)
+        )
+        _, cols = self._decode(html, "parts", np.uint8)
+        assert cols.shape == (70 * 3,)
+        _, pca = self._decode(html, "features (PCA)", np.uint8)
+        assert pca.shape == (70 * 3,)
+        # the viewer runtime is embedded (no network/CDN dependencies)
+        assert "webgl" in html and "http" not in html.split("</script>")[0]
+
+    def test_pose_toggle_states_and_subsampling(self, tmp_path):
+        from rap_tpu.apps.html_viewer import build_sample, export_html
+
+        rng = np.random.default_rng(1)
+        parts = [rng.standard_normal((500, 3)) for _ in range(2)]
+        moved = [p + 10.0 for p in parts]
+        s, _ = build_sample("pair", parts, parts_alt=moved, max_points=300)
+        out = export_html([s], tmp_path / "v.html")
+        html = out.read_text()
+        data, pos = self._decode(html, "pos", np.float32)
+        _, alt = self._decode(html, "posAlt", np.float32)
+        assert data[0]["n"] == 300  # subsampled
+        # same subsample indices in both states: constant offset preserved
+        np.testing.assert_allclose(alt - pos, 10.0, atol=1e-5)
+
+    def test_results_and_samples_cli_export(self, tmp_path):
+        res = _make_eval_results(tmp_path)
+        rc = V.main([
+            "results", "--results-dir", str(res),
+            "-o", str(tmp_path / "viz"), "--html", str(tmp_path / "res.html"),
+        ])
+        assert rc == 0
+        html = (tmp_path / "res.html").read_text()
+        assert "pair_000" in html
+
+        rng = np.random.default_rng(2)
+        d = tmp_path / "data" / "s0"
+        d.mkdir(parents=True)
+        plyio.write_ply(d / "a.ply", rng.standard_normal((30, 3)).astype(np.float32))
+        rc = V.main([
+            "samples", "--data-dir", str(tmp_path / "data"),
+            "-o", str(tmp_path / "viz2"), "--html", str(tmp_path / "s.html"),
+        ])
+        assert rc == 0 and (tmp_path / "s.html").stat().st_size > 1000
+
+    def test_results_html_with_input_dir_has_pose_toggle(self, tmp_path):
+        res = _make_eval_results(tmp_path)
+        rng = np.random.default_rng(3)
+        inp = tmp_path / "inputs"
+        inp.mkdir()
+        for i in range(2):
+            plyio.write_ply(inp / f"part_{i}.ply",
+                            rng.standard_normal((40, 3)).astype(np.float32))
+        out = V.export_results_html(res, tmp_path / "v.html", input_dir=inp)
+        html = out.read_text()
+        data, pos = self._decode(html, "pos", np.float32)
+        assert "posAlt" in data[0]
+        _, alt = self._decode(html, "posAlt", np.float32)
+        assert pos.shape == alt.shape and not np.allclose(pos, alt)
