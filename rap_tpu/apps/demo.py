@@ -273,7 +273,9 @@ def run_demo(args) -> int:
         if args.icp_refine:
             # snap the selected coarse poses onto the anchor with batched
             # trimmed ICP (registration.refine_poses_icp; beyond-reference)
-            R_r, t_r = refine_poses_icp(batch, best[1], best[2])
+            R_r, t_r = refine_poses_icp(
+                batch, best[1], best[2], yaw_restarts=args.icp_restarts
+            )
             best = (best[0], R_r, t_r, best[3])
         return best, jnp.concatenate([rig0[None], rigs])
 
@@ -369,6 +371,10 @@ def main(argv=None):
     ap.add_argument("--icp-refine", action="store_true",
                     help="post-refine the selected poses with batched "
                          "trimmed ICP against the anchor part")
+    ap.add_argument("--icp-restarts", type=int, default=1,
+                    help="with --icp-refine: try K yaw-rotated ICP inits per "
+                         "part and keep the lowest trimmed residual (near-"
+                         "global yaw search for gravity-aligned scans)")
     ap.add_argument("--adaptive-parameters", action="store_true", default=True)
     ap.add_argument("--no-adaptive-parameters", dest="adaptive_parameters", action="store_false")
     ap.add_argument("--voxel-size", type=float, default=0.25)

@@ -378,8 +378,14 @@ def icp_point_to_point(
     tgt_mask: jax.Array,  # (B, M)
     iters: int = 20,
     trim_fraction: float = 1.0,
+    init: tuple[jax.Array, jax.Array] | None = None,
+    return_residual: bool = False,
 ):
     """Batched point-to-point ICP: returns (R, t) with src @ R^T + t ≈ tgt.
+
+    ``init``: optional (R0 (B,3,3), t0 (B,3)) starting pose — the basis for
+    multi-restart refinement. ``return_residual`` additionally returns the
+    final trimmed mean NN distance (B,) for ranking restarts.
 
     TPU-native replacement for pytorch3d ``iterative_closest_point`` (used by
     ref metrics.py:50-90 align_anchor and :177-261 use_icp refinement): a
@@ -399,33 +405,46 @@ def icp_point_to_point(
     src = src.astype(jnp.float32)
     tgt = tgt.astype(jnp.float32)
 
+    def _trim_keep(d):
+        """Validity mask of the closest trim_fraction of correspondences."""
+        if trim_fraction >= 1.0:
+            return src_mask
+        dv = jnp.where(src_mask, d, jnp.inf)
+        n_valid = jnp.sum(src_mask, axis=-1)                     # (B,)
+        k = jnp.maximum(
+            (n_valid.astype(jnp.float32) * trim_fraction).astype(jnp.int32),
+            3,
+        )
+        ds = jnp.sort(dv, axis=-1)
+        thr = jnp.take_along_axis(
+            ds, jnp.minimum(k - 1, dv.shape[-1] - 1)[:, None], axis=-1
+        )                                                        # (B,1)
+        return src_mask & (dv <= thr)
+
     def body(carry, _):
         R, t = carry
         cur = transform_points(R, t, src)
         d, idx = _masked_nn(cur, src_mask, tgt, tgt_mask)
         corr = jnp.take_along_axis(tgt, idx[..., None], axis=1)  # (B,N,3)
-        if trim_fraction < 1.0:
-            dv = jnp.where(src_mask, d, jnp.inf)
-            n_valid = jnp.sum(src_mask, axis=-1)                 # (B,)
-            k = jnp.maximum(
-                (n_valid.astype(jnp.float32) * trim_fraction).astype(jnp.int32),
-                3,
-            )
-            ds = jnp.sort(dv, axis=-1)
-            thr = jnp.take_along_axis(
-                ds, jnp.minimum(k - 1, dv.shape[-1] - 1)[:, None], axis=-1
-            )                                                    # (B,1)
-            keep = src_mask & (dv <= thr)
-        else:
-            keep = src_mask
+        keep = _trim_keep(d)
         R, t = kabsch_masked(src, corr, keep)
         return (R, t), None
 
     B = src.shape[0]
-    R0 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
-    t0 = jnp.zeros((B, 3), jnp.float32)
+    if init is None:
+        R0 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
+        t0 = jnp.zeros((B, 3), jnp.float32)
+    else:
+        R0, t0 = (a.astype(jnp.float32) for a in init)
     (R, t), _ = jax.lax.scan(body, (R0, t0), None, length=iters)
-    return R, t
+    if not return_residual:
+        return R, t
+    d, _ = _masked_nn(transform_points(R, t, src), src_mask, tgt, tgt_mask)
+    keep = _trim_keep(d)
+    res = jnp.sum(jnp.where(keep, d, 0.0), axis=-1) / jnp.maximum(
+        jnp.sum(keep, axis=-1), 1
+    )
+    return R, t, res
 
 
 def align_anchor(batch: PartBatch, pred: jax.Array, iters: int = 20) -> jax.Array:

@@ -31,6 +31,7 @@ def evaluate_split(
     use_icp: bool = False,
     icp_refine: bool = False,
     icp_refine_trim: float = 0.7,
+    icp_refine_restarts: int = 1,
 ) -> dict[str, float]:
     """Run the full sampling+metrics protocol over one dataset; returns the
     per-dataset averaged metric dict (floats).
@@ -64,7 +65,8 @@ def evaluate_split(
         R, t = predict_poses(batch, o["points"])
         if icp_refine:
             R, t = refine_poses_icp(
-                batch, R, t, iters=50, trim_fraction=icp_refine_trim
+                batch, R, t, iters=50, trim_fraction=icp_refine_trim,
+                yaw_restarts=icp_refine_restarts,
             )
         return o["points"], R, t
 

@@ -217,6 +217,7 @@ def refine_poses_icp(
     translations: jax.Array,  # (G, 3)
     iters: int = 30,
     trim_fraction: float = 0.7,
+    yaw_restarts: int = 1,
 ):
     """Trimmed-ICP pose refinement: snap each non-anchor part onto the anchor.
 
@@ -234,6 +235,14 @@ def refine_poses_icp(
     ``trim_fraction`` of correspondences per iteration (partial overlap).
     The refined pose composes the ICP delta with the input pose; anchor parts
     and invalid parts are returned unchanged.
+
+    ``yaw_restarts`` > 1 additionally tries K yaw-rotated initializations of
+    each part (evenly spaced over 2π about the part's centroid) and keeps the
+    pose with the lowest trimmed NN residual — a near-global yaw search for
+    gravity-aligned scans (scan yaw is the dominant unknown in terrestrial
+    LiDAR; roll/pitch are IMU-pinned). Cost is K sequential ICPs via
+    ``lax.map``; the flow's pose supplies the translation + roll/pitch, so
+    small K (4-8) covers the circle.
     """
     from .eval.metrics import icp_point_to_point
 
@@ -260,9 +269,33 @@ def refine_poses_icp(
     tgt = jnp.broadcast_to(a_pts[:, None], (S, P, N, 3)).reshape(S * P, N, 3)
     tgt_m = jnp.broadcast_to(a_mask[:, None], (S, P, N)).reshape(S * P, N)
 
-    dR, dt = icp_point_to_point(
-        src, src_m, tgt, tgt_m, iters=iters, trim_fraction=trim_fraction
-    )                                                                   # (G,3,3),(G,3)
+    if yaw_restarts <= 1:
+        dR, dt = icp_point_to_point(
+            src, src_m, tgt, tgt_m, iters=iters, trim_fraction=trim_fraction
+        )                                                               # (G,3,3),(G,3)
+    else:
+        # K yaw-perturbed inits about each part's (posed) centroid; keep the
+        # lowest-residual result per part
+        cnt = jnp.maximum(src_m.sum(-1, keepdims=True), 1)              # (G,1)
+        c = jnp.sum(jnp.where(src_m[..., None], src, 0.0), axis=1) / cnt
+
+        def one(delta):
+            ca, sa = jnp.cos(delta), jnp.sin(delta)
+            Rz = jnp.array([[ca, -sa, 0.0], [sa, ca, 0.0], [0.0, 0.0, 1.0]])
+            G2 = src.shape[0]
+            R0 = jnp.broadcast_to(Rz, (G2, 3, 3))
+            t0 = c - jnp.einsum("ij,gj->gi", Rz, c)
+            return icp_point_to_point(
+                src, src_m, tgt, tgt_m, iters=iters,
+                trim_fraction=trim_fraction, init=(R0, t0),
+                return_residual=True,
+            )
+
+        angles = jnp.arange(yaw_restarts) * (2.0 * jnp.pi / yaw_restarts)
+        Rk, tk, resk = jax.lax.map(one, angles)         # (K,G,3,3),(K,G,3),(K,G)
+        best = jnp.argmin(resk, axis=0)                                 # (G,)
+        dR = jnp.take_along_axis(Rk, best[None, :, None, None], axis=0)[0]
+        dt = jnp.take_along_axis(tk, best[None, :, None], axis=0)[0]
 
     R_new = jnp.einsum("gij,gjk->gik", dR, rotations)
     t_new = jnp.einsum("gij,gj->gi", dR, translations) + dt

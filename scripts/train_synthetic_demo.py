@@ -96,6 +96,10 @@ def main(argv=None):
     ap.add_argument("--eval-icp-trim", type=float, default=0.7,
                     help="trimmed-ICP correspondence fraction for "
                          "--eval-icp-refine")
+    ap.add_argument("--eval-icp-restarts", type=int, default=1,
+                    help="yaw-restart count for --eval-icp-refine (>1 tries "
+                         "K yaw-rotated ICP inits per part, keeps the lowest "
+                         "trimmed residual)")
     args = ap.parse_args(argv)
 
     from rap_tpu.data import BatchLoader, DatasetConfig, LoaderConfig, PointCloudDataset
@@ -232,6 +236,7 @@ def main(argv=None):
             n_generations=args.eval_generations, use_icp=args.eval_icp,
             icp_refine=args.eval_icp_refine,
             icp_refine_trim=args.eval_icp_trim,
+            icp_refine_restarts=args.eval_icp_restarts,
         )
 
     summary = {

@@ -87,14 +87,11 @@ class TestICP:
         assert np.all(np.asarray(re) < 0.5)
         assert np.all(np.asarray(te) < 5e-3)
 
-    def test_trimmed_icp_pose_refinement_partial_overlap(self):
-        """refine_poses_icp snaps a coarse pose (6 deg / 0.3 off) onto the
-        anchor given ~55% view overlap — the trimmed correspondences keep the
-        non-overlapping region from dragging the fit."""
+    @staticmethod
+    def _partial_overlap_pair(rng):
+        """Two ~57%-overlapping views of a structured scene as a PartBatch
+        (anchor + one posed part); returns the batch."""
         from rap_tpu.core.batch import PartBatch
-        from rap_tpu.registration import refine_poses_icp
-
-        rng = np.random.default_rng(3)
         # structured scene with irregular sampling (a regular grid would give
         # ICP a lattice-shifted local optimum) and three orthogonal surfaces
         # (two would leave one translation axis unconstrained — planes slide)
@@ -140,6 +137,15 @@ class TestICP:
             scale=jnp.ones(1, jnp.float32),
             sample_valid=jnp.ones(1, bool),
         )
+        return b
+
+    def test_trimmed_icp_pose_refinement_partial_overlap(self):
+        """refine_poses_icp snaps a coarse pose (6 deg / 0.3 off) onto the
+        anchor given ~55% view overlap — the trimmed correspondences keep the
+        non-overlapping region from dragging the fit."""
+        from rap_tpu.registration import refine_poses_icp
+
+        b = self._partial_overlap_pair(np.random.default_rng(3))
         # perturb ONLY the non-anchor pose (a shared perturbation cancels in
         # anchor-relative errors)
         dR = jnp.asarray(
@@ -159,6 +165,44 @@ class TestICP:
         assert float(re0[0]) > 3.0 and float(te0[0]) > 0.2
         assert float(re1[0]) < 1.0, float(re1[0])
         assert float(te1[0]) < 0.02, float(te1[0])
+
+    def test_yaw_restart_icp_recovers_large_yaw_error(self):
+        """A pose 120 deg off in yaw sits far outside single-init ICP's
+        convergence basin; yaw_restarts=6 tries evenly spaced yaw inits about
+        the part centroid and the trimmed-residual selection recovers it."""
+        from rap_tpu.registration import refine_poses_icp
+
+        b = self._partial_overlap_pair(np.random.default_rng(3))
+        dR = jnp.asarray(
+            Rotation.from_euler("z", 120, degrees=True).as_matrix(), jnp.float32
+        )
+        # pivot the posed part about its own centroid so translation stays
+        # plausible: x' = dR (R x + t - c) + c
+        mask1 = np.asarray(b.point_mask[1])
+        posed1 = np.asarray(b.points[1]) @ np.asarray(b.rotations_gt[1]).T + \
+            np.asarray(b.translations_gt[1])
+        c = jnp.asarray(posed1[mask1].mean(0), jnp.float32)
+        sel = jnp.asarray([0.0, 1.0])[:, None, None]
+        R_pred = jnp.where(
+            sel > 0, jnp.einsum("ij,gjk->gik", dR, b.rotations_gt),
+            b.rotations_gt,
+        )
+        t_bad = jnp.einsum("ij,j->i", dR, b.translations_gt[1] - c) + c
+        t_pred = jnp.stack([b.translations_gt[0], t_bad])
+
+        re0, _ = M.transform_errors(b, R_pred, t_pred, anchor_relative=True)
+        assert float(re0[0]) > 100.0
+        # single init: stuck in a wrong basin
+        R1, t1 = refine_poses_icp(b, R_pred, t_pred, iters=30,
+                                  trim_fraction=0.7)
+        re1, _ = M.transform_errors(b, R1, t1, anchor_relative=True)
+        assert float(re1[0]) > 30.0, float(re1[0])
+        # 6 yaw restarts: recovered
+        R6, t6 = refine_poses_icp(b, R_pred, t_pred, iters=30,
+                                  trim_fraction=0.7, yaw_restarts=6)
+        re6, te6 = M.transform_errors(b, R6, t6, anchor_relative=True)
+        assert float(re6[0]) < 2.0, float(re6[0])
+        assert float(te6[0]) < 0.05, float(te6[0])
 
     def test_icp_errors_match_direct_errors_for_asymmetric_parts(self):
         # the reference's use_icp=True protocol measures the SAME pose error
