@@ -24,6 +24,7 @@ def evaluate_split(
     *,
     batch_tokens: int = 32_768,
     num_steps: int | None = None,
+    schedule: str | None = None,
     seed: int = 100,
     tag: str = "val",
     dataset_key: str = "synth",
@@ -60,7 +61,7 @@ def evaluate_split(
     def generate(params, batch, key):
         o = sample(
             params, pipe, batch, key,
-            return_trajectory=False, num_steps=num_steps,
+            return_trajectory=False, num_steps=num_steps, schedule=schedule,
         )
         R, t = predict_poses(batch, o["points"])
         if icp_refine:

@@ -39,6 +39,10 @@ class RPFConfig:
     timestep_sampling: str = "u_shaped"
     inference_sampling_steps: int = 10
     inference_sampler: str = "euler"
+    # ODE timestep grid (core/sampler.make_schedule): uniform (the reference
+    # protocol), cosine, or power:<k>. A non-uniform grid re-allocates the
+    # step budget at inference time with no retraining.
+    inference_schedule: str = "uniform"
     n_generations: int = 1
     rigidity_forcing: bool = True
     return_end_point_trajectory: bool = True
@@ -154,6 +158,7 @@ def sample(
     return_trajectory: bool = True,
     return_transformer_features: bool = False,
     num_steps: int | None = None,
+    schedule: str | None = None,
     ring_mesh=None,
 ) -> dict[str, Any]:
     """Generate a registered scene by integrating the learned flow.
@@ -179,6 +184,7 @@ def sample(
         rigidity_forcing=cfg.rigidity_forcing,
         return_trajectory=return_trajectory,
         method=cfg.inference_sampler,
+        schedule=schedule or cfg.inference_schedule,
     )
     out: dict[str, Any] = {"points": res.x_final}
     if return_trajectory:

@@ -66,7 +66,9 @@ def main(argv=None):
     ap.add_argument("--yaw-aug", action="store_true")
     ap.add_argument("--features", default="geometric",
                     choices=["geometric", "zero", "spinnet"])
-    ap.add_argument("--eval-steps-sweep", default="1,2,4,10")
+    ap.add_argument("--eval-steps-sweep", default="1,2,4,10",
+                    help="comma list of step counts; a token may carry a "
+                         "schedule suffix, e.g. 4:power:0.5 (fine near t=1)")
     ap.add_argument("--eval-splits", default="val")
     ap.add_argument("--student", default="",
                     help="eval-only: checkpoint dir of an already-distilled "
@@ -181,17 +183,24 @@ def main(argv=None):
         student_params = state.params
 
     # ---- 3. eval sweep: teacher vs student over step counts -----------------
-    sweep = [int(s) for s in args.eval_steps_sweep.split(",")]
+    def parse_token(tok):
+        parts = tok.split(":", 1)
+        return int(parts[0]), (parts[1] if len(parts) > 1 else "uniform")
+
+    sweep = [parse_token(s) for s in args.eval_steps_sweep.split(",")]
     eval_pipe = RPFConfig(model=model, rigidity_forcing=True)
     for split in args.eval_splits.split(","):
         ds = train_ds if split == "train" else val_ds
         for who, params in (("teacher", teacher_params),
                             ("student", student_params)):
-            for k in sweep:
-                tag = f"{split}/{who}@{k}steps"
+            for k, sched in sweep:
+                tag = f"{split}/{who}@{k}steps" + (
+                    f":{sched}" if sched != "uniform" else ""
+                )
                 res = evaluate_split(
                     params, eval_pipe, ds,
                     batch_tokens=args.batch_tokens, num_steps=k, tag=tag,
+                    schedule=sched,
                 )
                 summary[tag] = res
 

@@ -81,6 +81,9 @@ def main(argv=None):
                          "(augment_eval protocol)")
     ap.add_argument("--eval-steps", type=int, default=10,
                     help="ODE steps at eval")
+    ap.add_argument("--eval-schedule", default="uniform",
+                    help="ODE timestep grid at eval: uniform | cosine | "
+                         "power:<k> (core/sampler.make_schedule)")
     ap.add_argument("--eval-generations", type=int, default=1,
                     help=">1 applies the reference benchmark protocol "
                          "(test_script_example.sh): best-of-N + "
@@ -233,6 +236,7 @@ def main(argv=None):
         return evaluate_split(
             state.params, pipe, ds,
             batch_tokens=args.batch_tokens, num_steps=args.eval_steps, tag=tag,
+            schedule=args.eval_schedule,
             n_generations=args.eval_generations, use_icp=args.eval_icp,
             icp_refine=args.eval_icp_refine,
             icp_refine_trim=args.eval_icp_trim,

@@ -242,6 +242,55 @@ class TestSampler:
         assert res.end_point_trajectory.shape == (10, G, N, 3)
         assert res.trajectory.shape == (10, G, N, 3)
 
+    def test_schedules_exact_on_analytic_field(self):
+        """Non-uniform grids are exact for the linear field (any partition of
+        [0,1] integrates v = x1 - x0 exactly), endpoints pinned at 1 and 0."""
+        rng = np.random.default_rng(7)
+        G, N = 2, 16
+        x0 = jnp.asarray(rng.standard_normal((G, N, 3)), dtype=jnp.float32)
+        x1 = jnp.asarray(rng.standard_normal((G, N, 3)), dtype=jnp.float32)
+        v_true = x1 - x0
+        for sched in ("uniform", "cosine", "power:2", "power:0.5"):
+            ts = np.asarray(sampler.make_schedule(6, sched))
+            assert ts[0] == 1.0 and ts[-1] == 0.0 and np.all(np.diff(ts) < 0)
+            res = sampler.flow_sampler(
+                lambda x, t: v_true, x_1=x1, condition=x0,
+                point_mask=jnp.ones((G, N), bool), num_steps=6,
+                rigidity_forcing=False, schedule=sched,
+            )
+            np.testing.assert_allclose(
+                np.asarray(res.x_final), np.asarray(x0), atol=1e-5,
+                err_msg=sched,
+            )
+
+    def test_schedule_validation_and_rigidity(self):
+        """Bad schedule names raise; rigidity forcing on a non-uniform grid
+        still ends exactly rigid (final state IS the rigid projection)."""
+        import pytest
+
+        with pytest.raises(ValueError):
+            sampler.make_schedule(4, "powers:2")
+        with pytest.raises(ValueError):
+            sampler.make_schedule(4, "power:-1")
+
+        rng = np.random.default_rng(8)
+        G, N = 2, 32
+        cond = jnp.asarray(rng.standard_normal((G, N, 3)), dtype=jnp.float32)
+        x1 = jnp.asarray(rng.standard_normal((G, N, 3)), dtype=jnp.float32)
+        res = sampler.flow_sampler(
+            lambda x, t: x - cond, x_1=x1, condition=cond,
+            point_mask=jnp.ones((G, N), bool), num_steps=5,
+            rigidity_forcing=True, schedule="power:2",
+        )
+        # final = rigid transform of the condition: kabsch residual ~ 0
+        from rap_tpu.core.procrustes import kabsch_masked
+
+        R, t = kabsch_masked(cond, res.x_final, jnp.ones((G, N), bool))
+        fit = jnp.einsum("gij,gnj->gni", R, cond) + t[:, None]
+        np.testing.assert_allclose(
+            np.asarray(fit), np.asarray(res.x_final), atol=1e-4
+        )
+
     def test_rk2_rk4_on_analytic_field(self):
         """rk2/rk4 land on x_0 for the linear field and cost 2x/4x evals."""
         rng = np.random.default_rng(3)
