@@ -176,6 +176,14 @@ def run_demo(args) -> int:
         from ..spinnet import build_feature_extractor
 
         feature_extractor = build_feature_extractor(args.spinnet_checkpoint)
+    elif args.features == "geometric":
+        # rotation-invariant eigenvalue/curvature descriptors — what the
+        # synthetic-trained distribution checkpoint was conditioned on
+        # (data/synthetic_scenes.compute_geometric_features)
+        from ..data.synthetic_scenes import compute_geometric_features
+
+        def feature_extractor(cloud, kp, r):
+            return compute_geometric_features(kp)
     t0 = time.time()
     kpts, feats = preprocess_parts(
         originals, voxel_size, voxel_ratio, des_r,
@@ -382,7 +390,8 @@ def main(argv=None):
     ap.add_argument("--voxel-ratio", type=float, default=0.05)
     ap.add_argument("--max-points-per-part", type=int, default=20_000)
     ap.add_argument("--no-outlier-removal", action="store_true")
-    ap.add_argument("--features", choices=["zero", "spinnet"], default="zero")
+    ap.add_argument("--features", choices=["zero", "spinnet", "geometric"],
+                    default="zero")
     ap.add_argument("--spinnet-checkpoint", default="")
     ap.add_argument("--camera-frame", action="store_true")
     ap.add_argument(

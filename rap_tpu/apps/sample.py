@@ -47,6 +47,12 @@ def load_params(cfg: Config):
             ckpt = str(resolve_checkpoint(ckpt))
             logger.info("converting torch checkpoint %s", ckpt)
             params = load_torch_checkpoint(ckpt, cfg.model.num_layers)
+        elif ckpt.endswith(".npz"):
+            # compact distribution format (train/checkpoint.save_params_npz)
+            from ..train.checkpoint import load_params_npz
+
+            logger.info("loading npz params %s", ckpt)
+            params = load_params_npz(ckpt, params)
         else:
             logger.info("restoring orbax checkpoint %s", ckpt)
             restored = restore_checkpoint(ckpt, {"params": params})

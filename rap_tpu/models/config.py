@@ -74,4 +74,7 @@ MODEL_ZOO = {
     "rap_16": _zoo(16),
     # feature-free variant (demo "rap_12_po" path runs with zero features)
     "rap_12_po": _zoo(12),
+    # 6-layer variant used by the synthetic-trained distribution checkpoint
+    # (docs/synthetic_training.md; trained by scripts/train_synthetic_demo.py)
+    "rap_6_synth": _zoo(6),
 }

@@ -169,6 +169,45 @@ class TestDemoCLI:
         reg = plyio.read_ply(out / "registered" / "a.ply")["points"]
         assert reg.shape == (300, 3)
 
+    def test_npz_checkpoint_and_geometric_features(self, tmp_path):
+        """--checkpoint model.npz (the compact distribution format) +
+        --features geometric (the synthetic-checkpoint conditioning) through
+        the full demo CLI — exactly how a user runs a trained-on-synthetic
+        model on their own PLYs."""
+        import jax
+
+        from rap_tpu.apps.demo import main
+        from rap_tpu.models import DiTConfig
+        from rap_tpu.models.dit import init_dit_params
+        from rap_tpu.train.checkpoint import save_params_npz
+
+        cfg = DiTConfig(num_layers=2, embed_dim=64, num_heads=4,
+                        compute_dtype="float32")
+        params = init_dit_params(jax.random.key(0), cfg)
+        npz = tmp_path / "model.npz"
+        save_params_npz(npz, params)
+
+        rng = np.random.default_rng(5)
+        scene = rng.uniform(0, 2, (400, 3)).astype(np.float32)
+        in_dir = tmp_path / "views"
+        in_dir.mkdir()
+        plyio.write_ply(in_dir / "a.ply", scene[:300])
+        plyio.write_ply(in_dir / "b.ply", scene[100:])
+        rc = main([
+            "-i", str(in_dir),
+            "-out", str(tmp_path / "out"),
+            "--num-steps", "2",
+            "--max-points-per-part", "256",
+            "--checkpoint", str(npz),
+            "--features", "geometric",
+            "-o", "model.num_layers=2",
+            "-o", "model.embed_dim=64",
+            "-o", "model.num_heads=4",
+            "-o", "model.compute_dtype=float32",
+        ])
+        assert rc == 0
+        assert (tmp_path / "out" / "registered" / "a.ply").exists()
+
     def test_multi_generation_selection_on_device(self, tmp_path):
         """n_generations>1 exercises the scanned on-device rigidity-RMSE
         selection (no per-generation host round trip)."""
