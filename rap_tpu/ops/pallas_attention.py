@@ -314,7 +314,7 @@ def _flash_hm_full_va_bwd(softcap, block_q, block_k, interpret, res, dout):
     bk = _divisor_cap(block_k, BWD_BK_CAP)
     dq, dk, dv = _bwd_impl(
         qh, kh, vh, maski, out, lse, dout.astype(qh.dtype),
-        softcap, bq, bk, interpret,
+        softcap, bq, bk, interpret, masked=False,
     )
     dva = jnp.pad(dv, ((0, 0), (0, 0), (0, 1)))  # ones column: zero cotangent
     dbound = jnp.zeros((1,), jnp.float32)  # softmax is shift-invariant
@@ -363,7 +363,8 @@ def flash_attention_headmajor(
 # backward kernels
 # ---------------------------------------------------------------------------
 
-def _recompute_p_ds(q, k, mask, all_valid, lse_row, do, v, delta_row, softcap):
+def _recompute_p_ds(q, k, mask, all_valid, lse_row, do, v, delta_row, softcap,
+                    masked: bool = True):
     """Shared tile math on pre-scaled q: recomputed softmax p and dz' = the
     gradient wrt the pre-scaled logit q'·k. Shapes: q (BQ,d), k (BK,d).
 
@@ -391,8 +392,10 @@ def _recompute_p_ds(q, k, mask, all_valid, lse_row, do, v, delta_row, softcap):
     else:
         s2 = z
         dsdz = LN2
-    # `all_valid |` keeps the select on Mosaic's fast path
-    s2 = jnp.where(all_valid | mask[None, :], s2, NEG_INF)
+    # `all_valid |` keeps the select on Mosaic's fast path; the no-padding
+    # backward passes masked=False (static) and skips the select entirely
+    if masked:
+        s2 = jnp.where(all_valid | mask[None, :], s2, NEG_INF)
     p = jnp.exp2(s2 - lse_row)                                    # (BQ, BK)
     dp = jax.lax.dot_general(
         do, v.astype(do.dtype), (((1,), (1,)), ((), ())),
@@ -408,7 +411,7 @@ def _recompute_p_ds(q, k, mask, all_valid, lse_row, do, v, delta_row, softcap):
 def _flash_bwd_dkv_kernel(
     q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref, dk_acc, dv_acc,
-    *, softcap: float, num_q_blocks: int,
+    *, softcap: float, num_q_blocks: int, masked: bool = True,
 ):
     i = pl.program_id(2)  # q block (innermost)
 
@@ -417,10 +420,10 @@ def _flash_bwd_dkv_kernel(
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    mask = mask_ref[0, 0, :] > 0
-    all_valid = jnp.all(mask)
+    mask = mask_ref[0, 0, :] > 0 if masked else None
+    all_valid = jnp.all(mask) if masked else None
 
-    @pl.when(jnp.any(mask))
+    @pl.when(jnp.any(mask) if masked else i >= 0)
     def _compute():
         q = q_ref[0]
         do = do_ref[0]                        # storage dtype (bf16) for MXU
@@ -428,7 +431,7 @@ def _flash_bwd_dkv_kernel(
         delta_row = delta_ref[0, 0][:, None]  # (BQ, 1)
         p, dz = _recompute_p_ds(
             q, k_ref[0], mask, all_valid, lse_row, do, v_ref[0], delta_row,
-            softcap,
+            softcap, masked=masked,
         )
         # dV += p^T dO ; dK += dz^T Q — bf16 operands, fp32 accumulation
         dv_acc[:] += jax.lax.dot_general(
@@ -448,7 +451,7 @@ def _flash_bwd_dkv_kernel(
 def _flash_bwd_dq_kernel(
     q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
     dq_ref, dq_acc,
-    *, softcap: float, num_k_blocks: int,
+    *, softcap: float, num_k_blocks: int, masked: bool = True,
 ):
     j = pl.program_id(2)  # k block (innermost)
 
@@ -456,10 +459,10 @@ def _flash_bwd_dq_kernel(
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    mask = mask_ref[0, 0, :] > 0
-    all_valid = jnp.all(mask)
+    mask = mask_ref[0, 0, :] > 0 if masked else None
+    all_valid = jnp.all(mask) if masked else None
 
-    @pl.when(jnp.any(mask))
+    @pl.when(jnp.any(mask) if masked else j >= 0)
     def _compute():
         q = q_ref[0]
         do = do_ref[0]
@@ -467,7 +470,7 @@ def _flash_bwd_dq_kernel(
         delta_row = delta_ref[0, 0][:, None]
         _, dz = _recompute_p_ds(
             q, k_ref[0], mask, all_valid, lse_row, do, v_ref[0], delta_row,
-            softcap,
+            softcap, masked=masked,
         )
         dq_acc[:] += jax.lax.dot_general(
             dz, k_ref[0], (((1,), (0,)), ((), ())),
@@ -482,7 +485,7 @@ def _flash_bwd_dq_kernel(
 def _flash_bwd_fused_kernel(
     q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
     dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-    *, softcap: float, num_q_blocks: int,
+    *, softcap: float, num_q_blocks: int, masked: bool = True,
 ):
     """Single-pass backward: one tile recompute feeds dQ, dK and dV.
 
@@ -507,15 +510,15 @@ def _flash_bwd_fused_kernel(
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    mask = mask_ref[0, 0, :] > 0
-    all_valid = jnp.all(mask)
+    mask = mask_ref[0, 0, :] > 0 if masked else None
+    all_valid = jnp.all(mask) if masked else None
     q = q_ref[0]
     do = do_ref[0]                        # storage dtype (bf16) for MXU
     lse_row = lse_ref[0, 0][:, None]      # (BQ, 1)
     delta_row = delta_ref[0, 0][:, None]  # (BQ, 1)
     p, dz = _recompute_p_ds(
         q, k_ref[0], mask, all_valid, lse_row, do, v_ref[0], delta_row,
-        softcap,
+        softcap, masked=masked,
     )
     # dV += p^T dO ; dK += dz^T Q — bf16 operands, fp32 accumulation
     dv_acc[:] += jax.lax.dot_general(
@@ -537,7 +540,7 @@ def _flash_bwd_fused_kernel(
 
 
 def _bwd_fused_impl(qh, kh, vh, maski, out, lse, doh, softcap,
-                    block_q, block_k, interpret):
+                    block_q, block_k, interpret, masked=True):
     BH, Tqp, d = qh.shape
     Tkp = kh.shape[1]
     B = maski.shape[0]
@@ -551,6 +554,7 @@ def _bwd_fused_impl(qh, kh, vh, maski, out, lse, doh, softcap,
     dq_part, dk, dv = pl.pallas_call(
         functools.partial(
             _flash_bwd_fused_kernel, softcap=softcap, num_q_blocks=nq,
+            masked=masked,
         ),
         grid=(BH, nk, nq),
         in_specs=[
@@ -599,22 +603,23 @@ _FUSED_DQ_PARTIALS_CAP = 2 * 2**30
 
 
 def _bwd_impl(qh, kh, vh, maski, out, lse, doh, softcap,
-              block_q, block_k, interpret):
+              block_q, block_k, interpret, masked=True):
     BH, Tqp, d = qh.shape
     nk = kh.shape[1] // block_k
     fused_bytes = BH * nk * Tqp * d * 4
     if BWD_IMPL == "fused" and fused_bytes <= _FUSED_DQ_PARTIALS_CAP:
         return _bwd_fused_impl(
             qh, kh, vh, maski, out, lse, doh, softcap, block_q, block_k,
-            interpret,
+            interpret, masked=masked,
         )
     return _bwd_split_impl(
-        qh, kh, vh, maski, out, lse, doh, softcap, block_q, block_k, interpret
+        qh, kh, vh, maski, out, lse, doh, softcap, block_q, block_k,
+        interpret, masked=masked,
     )
 
 
 def _bwd_split_impl(qh, kh, vh, maski, out, lse, doh, softcap,
-                    block_q, block_k, interpret):
+                    block_q, block_k, interpret, masked=True):
     BH, Tqp, d = qh.shape
     Tkp = kh.shape[1]
     B = maski.shape[0]
@@ -638,6 +643,7 @@ def _bwd_split_impl(qh, kh, vh, maski, out, lse, doh, softcap,
     dk, dv = pl.pallas_call(
         functools.partial(
             _flash_bwd_dkv_kernel, softcap=softcap, num_q_blocks=nq,
+            masked=masked,
         ),
         grid=(BH, nk, nq),
         in_specs=common_specs,
@@ -668,6 +674,7 @@ def _bwd_split_impl(qh, kh, vh, maski, out, lse, doh, softcap,
     dq = pl.pallas_call(
         functools.partial(
             _flash_bwd_dq_kernel, softcap=softcap, num_k_blocks=nk,
+            masked=masked,
         ),
         grid=(BH, nq, nk),
         in_specs=dq_specs,
