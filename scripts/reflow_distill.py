@@ -75,6 +75,11 @@ def main(argv=None):
                          "student (skips couple generation + training)")
     args = ap.parse_args(argv)
 
+    # Remote-TPU tunnel: first device op on the MAIN thread before any
+    # loader prefetch thread touches the device (see train_synthetic_demo).
+    logger.info("devices: %s", jax.devices())
+    jax.block_until_ready(jnp.zeros(8))
+
     from rap_tpu.core.sampler import compute_linearity
     from rap_tpu.data import (
         BatchLoader, DatasetConfig, LoaderConfig, PointCloudDataset,

@@ -69,6 +69,10 @@ def main(argv=None):
                          "empty)")
     ap.add_argument("--spinnet-des-r", type=float, default=1.0,
                     help="descriptor radius in scene meters")
+    ap.add_argument("--prefetch", type=int, default=4,
+                    help="loader prefetch depth (0 = load batches inline; "
+                         "use 0 if the remote-TPU tunnel stalls during the "
+                         "first compile with a live prefetch thread)")
     ap.add_argument("--save-every", type=int, default=0,
                     help="checkpoint every N steps (0 = only at the end)")
     ap.add_argument("--resume", action="store_true",
@@ -104,6 +108,13 @@ def main(argv=None):
                          "K yaw-rotated ICP inits per part, keeps the lowest "
                          "trimmed residual)")
     args = ap.parse_args(argv)
+
+    # Remote-TPU tunnel: initialize the backend and run the first device op
+    # on the MAIN thread before any loader prefetch thread touches the
+    # device — client init from a daemon thread can wedge the tunnel session
+    # (observed as a futex-blocked process with no tunnel connection).
+    logger.info("devices: %s", jax.devices())
+    jax.block_until_ready(jax.numpy.zeros(8))
 
     from rap_tpu.data import BatchLoader, DatasetConfig, LoaderConfig, PointCloudDataset
     from rap_tpu.data.synthetic_scenes import generate_dataset
@@ -203,7 +214,7 @@ def main(argv=None):
         loader = BatchLoader(
             [train_ds],
             LoaderConfig(max_points_per_batch=args.batch_tokens, shuffle=True,
-                         prefetch=4),
+                         prefetch=args.prefetch),
         )
         step_fn = make_train_step(pipe, tx, remat=True)
         tracker = ExperimentTracker(out / "ckpts", config=None, use_wandb=False,
