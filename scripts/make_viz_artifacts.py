@@ -33,7 +33,12 @@ def main(argv=None):
                     help="render the yaw-rotated eval protocol")
     ap.add_argument("--max-samples", type=int, default=4)
     ap.add_argument("--batch-tokens", type=int, default=32_768)
+    ap.add_argument("--cpu", action="store_true",
+                    help="render on CPU (leave the TPU tunnel to a "
+                         "concurrent training run)")
     args = ap.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from rap_tpu.data import BatchLoader, DatasetConfig, LoaderConfig, PointCloudDataset
     from rap_tpu.eval.visualizer import FlowVisualization, VisualizerConfig
