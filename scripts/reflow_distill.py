@@ -194,11 +194,18 @@ def main(argv=None):
 
     sweep = [parse_token(s) for s in args.eval_steps_sweep.split(",")]
     eval_pipe = RPFConfig(model=model, rigidity_forcing=True)
+    out.mkdir(parents=True, exist_ok=True)
+    # student first: if a wall-clock bound cuts the sweep short, the
+    # distilled few-step numbers (the point of the study) land first, and
+    # summary.json is flushed after every eval so partial sweeps survive
     for split in args.eval_splits.split(","):
         ds = train_ds if split == "train" else val_ds
-        for who, params in (("teacher", teacher_params),
-                            ("student", student_params)):
-            for k, sched in sweep:
+        for who, params in (("student", student_params),
+                            ("teacher", teacher_params)):
+            # for the teacher the 10-step protocol number is the quality
+            # bar — run it first in case the sweep is cut short
+            order = sweep if who == "student" else list(reversed(sweep))
+            for k, sched in order:
                 tag = f"{split}/{who}@{k}steps" + (
                     f":{sched}" if sched != "uniform" else ""
                 )
@@ -208,6 +215,7 @@ def main(argv=None):
                     schedule=sched,
                 )
                 summary[tag] = res
+                (out / "summary.json").write_text(json.dumps(summary, indent=2))
 
     # ---- linearity probe: how straight did the paths get? -------------------
     probe_loader = BatchLoader(
