@@ -38,6 +38,10 @@ def main(argv=None):
     ap.add_argument("--batch-tokens", type=int, default=32_768)
     ap.add_argument("--save-every", type=int, default=500)
     ap.add_argument("--eval", action="store_true", default=True)
+    ap.add_argument("--init-npz", default="",
+                    help="warm-start params from a save_params_npz export "
+                         "(e.g. the committed reflow student) instead of "
+                         "random init")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -84,6 +88,11 @@ def main(argv=None):
         steps_per_epoch=max(len(train_ds) // 8, 1),
     )
     params = init_dit_params(jax.random.key(0), model)
+    if args.init_npz:
+        from rap_tpu.train.checkpoint import load_params_npz
+
+        params = load_params_npz(args.init_npz, params)
+        log("warm-started params from", args.init_npz)
     state = TrainState.create(params, tx, jax.random.key(1))
     step_fn = make_train_step(pipe, tx, remat=True)
     log(f"model: {param_count(params) / 1e6:.1f}M params")

@@ -1,0 +1,114 @@
+"""Step-count quality sweep for a committed npz model (real TPU).
+
+Produces the matched-recall evidence that licenses the few-step bench
+protocol (bench.py BENCH_STEPS): evaluates one checkpoint over an ODE
+step-count sweep on held-out synthetic val scenes with the full metric
+protocol (rap_tpu.eval.runner.evaluate_split — same recalls as the
+reference evaluator.py:69-106), plus the trajectory-linearity probe.
+
+The reference always runs 10 Euler steps (sampler.py:11-92,
+RAP_inference.yaml:52-65); a reflow-distilled student holding recall at
+k<10 steps cuts per-pair FLOPs by 10/k — the only remaining throughput
+lever once the kernels sit at their matmul floor (BASELINE.md).
+
+Usage:
+  timeout 1800 python scripts/eval_student_sweep.py \
+      --ckpt demo_data/ckpts/reflow_student.npz --data-root runs/reflow9/data \
+      --sweep 1,2,4,10 --out runs/reflow9/student_sweep.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, file=sys.stderr, flush=True)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="demo_data/ckpts/reflow_student.npz")
+    ap.add_argument("--data-root", default="runs/reflow9/data")
+    ap.add_argument("--layers", type=int, default=6)
+    ap.add_argument("--batch-tokens", type=int, default=32_768)
+    ap.add_argument("--sweep", default="1,2,4,10")
+    ap.add_argument("--split", default="val")
+    ap.add_argument("--out", default="runs/reflow9/student_sweep.json")
+    args = ap.parse_args(argv)
+
+    # main-thread backend init before any loader thread (CLAUDE.md gotcha)
+    log("devices:", jax.devices())
+    jax.block_until_ready(jnp.zeros(8))
+
+    from rap_tpu.core.sampler import compute_linearity
+    from rap_tpu.data import (
+        BatchLoader, DatasetConfig, LoaderConfig, PointCloudDataset,
+    )
+    from rap_tpu.eval.runner import evaluate_split
+    from rap_tpu.models import DiTConfig
+    from rap_tpu.models.dit import init_dit_params
+    from rap_tpu.registration import RPFConfig, sample
+    from rap_tpu.train.checkpoint import load_params_npz
+
+    model = DiTConfig(num_layers=args.layers)
+    params = load_params_npz(
+        args.ckpt, init_dit_params(jax.random.key(0), model)
+    )
+    ds = PointCloudDataset(DatasetConfig(
+        split=args.split, data_path=args.data_root, dataset_name="synth",
+        load_features=True,
+    ))
+    log(f"{len(ds)} {args.split} scenes from {args.data_root}")
+
+    pipe = RPFConfig(model=model, rigidity_forcing=True)
+    summary: dict = {"ckpt": args.ckpt, "split": args.split}
+    for tok in args.sweep.split(","):
+        k = int(tok)
+        t0 = time.time()
+        res = evaluate_split(
+            params, pipe, ds, batch_tokens=args.batch_tokens,
+            num_steps=k, tag=f"student@{k}steps",
+        )
+        summary[f"student@{k}steps"] = res
+        log(f"@{k} steps ({time.time() - t0:.0f}s): "
+            + ", ".join(f"{m}={res[m]:.3f}" for m in (
+                "average_rotation_error (deg)",
+                "average_translation_error (m)",
+                "recall_at_10deg_5m (map)",
+                "recall_at_10deg_0.2m (nss)",
+                "recall_at_chamfer_0.2m",
+            ) if m in res))
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        Path(args.out).write_text(json.dumps(summary, indent=2))
+
+    loader = BatchLoader(
+        [ds], LoaderConfig(max_points_per_batch=args.batch_tokens,
+                           shuffle=False)
+    )
+    batch = next(iter(loader.epoch(0)))[0]
+
+    @jax.jit
+    def probe(params, batch):
+        o = sample(params, pipe, batch, jax.random.key(42),
+                   return_trajectory=True, num_steps=10)
+        lin = compute_linearity(o["trajectory"], batch.point_mask)
+        return lin.sum() / jnp.maximum(batch.point_mask.sum(), 1)
+
+    summary["linearity"] = float(probe(params, batch))
+    log("linearity:", summary["linearity"])
+    Path(args.out).write_text(json.dumps(summary, indent=2))
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
