@@ -55,11 +55,19 @@ def main(argv=None):
         split="val", data_path=args.data_root, dataset_name="synth",
         load_features=True, yaw_augmentation=True, augment_eval=args.rotated,
     ))
-    tx = build_optimizer(OptimizerConfig(name="muon"), steps_per_epoch=1)
-    state = TrainState.create(
-        init_dit_params(jax.random.key(0), model), tx, jax.random.key(1)
-    )
-    state = restore_checkpoint(Path(args.ckpt), state)
+    if args.ckpt.endswith(".npz"):
+        from rap_tpu.train.checkpoint import load_params_npz
+
+        params = load_params_npz(
+            args.ckpt, init_dit_params(jax.random.key(0), model)
+        )
+    else:
+        tx = build_optimizer(OptimizerConfig(name="muon"), steps_per_epoch=1)
+        state = TrainState.create(
+            init_dit_params(jax.random.key(0), model), tx, jax.random.key(1)
+        )
+        state = restore_checkpoint(Path(args.ckpt), state)
+        params = state.params
 
     loader = BatchLoader(
         [ds], LoaderConfig(max_points_per_batch=args.batch_tokens, shuffle=False)
@@ -67,7 +75,7 @@ def main(argv=None):
     batch, names, _ = next(iter(loader.epoch(0)))
 
     out = sample(
-        state.params, pipe, batch, jax.random.key(7),
+        params, pipe, batch, jax.random.key(7),
         return_trajectory=True, return_transformer_features=True,
     )
     viz = FlowVisualization(VisualizerConfig(
