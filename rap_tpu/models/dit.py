@@ -21,8 +21,8 @@ TPU-first divergences:
   - bf16 compute with fp32 norms/softmax accumulation instead of fp16 AMP.
 
 Parameter layout is a plain nested-dict pytree; per-layer leaves are stacked
-along axis 0 (see `init_dit_params`). `models/convert.py` maps reference
-torch checkpoints onto this pytree.
+along axis 0 (see `init_dit_params`). `train/checkpoint.py`
+(convert_torch_checkpoint) maps reference torch checkpoints onto this pytree.
 """
 
 from __future__ import annotations

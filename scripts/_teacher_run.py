@@ -41,7 +41,11 @@ def main(argv=None):
     ap.add_argument("--init-npz", default="",
                     help="warm-start params from a save_params_npz export "
                          "(e.g. the committed reflow student) instead of "
-                         "random init")
+                         "random init. NOTE: npz exports are bf16-cast "
+                         "params only — optimizer state starts fresh; this "
+                         "is NOT equivalent to resuming via "
+                         "restore_checkpoint (full-precision params + "
+                         "optimizer moments + RNG)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp

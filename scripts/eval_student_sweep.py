@@ -1,10 +1,13 @@
 """Step-count quality sweep for a committed npz model (real TPU).
 
-Produces the matched-recall evidence that licenses the few-step bench
-protocol (bench.py BENCH_STEPS): evaluates one checkpoint over an ODE
-step-count sweep on held-out synthetic val scenes with the full metric
-protocol (rap_tpu.eval.runner.evaluate_split — same recalls as the
-reference evaluator.py:69-106), plus the trajectory-linearity probe.
+Quality sweep used to assess whether recall holds at k<10 ODE steps:
+evaluates one checkpoint over an ODE step-count sweep on held-out synthetic
+val scenes with the full metric protocol
+(rap_tpu.eval.runner.evaluate_split — same recalls as the reference
+evaluator.py:69-106), plus the trajectory-linearity probe. A student whose
+few-step recalls match its 10-step recalls licenses the few-step bench
+protocol (bench.py BENCH_STEPS); whether a given committed checkpoint
+clears that bar is recorded in BASELINE.md, not assumed here.
 
 The reference always runs 10 Euler steps (sampler.py:11-92,
 RAP_inference.yaml:52-65); a reflow-distilled student holding recall at
