@@ -118,8 +118,16 @@ def augment_sample(
     random_scale_range: tuple[float, float] | None = None,
     feat_dim: int = FEAT_DIM_DEFAULT,
     overlap_threshold: float = 0.0,
+    rotate_global: bool = True,
+    rotate_parts: bool = True,
 ) -> Sample:
-    """Apply the scaling/rotation/centering/shuffle label contract."""
+    """Apply the scaling/rotation/centering/shuffle label contract.
+
+    ``rotate_global`` / ``rotate_parts`` (only consulted when ``train``)
+    decompose the augmentation for protocol diagnostics: the eval-protocol
+    study (docs/synthetic_training.md) needs to attribute rotated-vs-
+    unrotated recall differences to the scene frame (global rotation) vs
+    the per-part pose posterior (part rotations) separately."""
     n_parts = len(parts_gt)
     counts = np.array([len(p) for p in parts_gt])
     primary = int(np.argmax(counts))
@@ -129,11 +137,14 @@ def augment_sample(
     # global frame: center on the primary part, rotate (train only)
     primary_center = parts_gt[primary].mean(0)
     if train:
-        R_fwd = (
+        # always consume the draw so the RNG stream (and thus the part
+        # rotations below) is identical across the decomposition modes
+        R_draw = (
             _random_yaw_rotation(rng, roll_pitch_range)
             if yaw_augmentation
             else _random_rotation(rng)
         )
+        R_fwd = R_draw if rotate_global else np.eye(3)
     else:
         R_fwd = np.eye(3)
     rot_global = R_fwd.T  # stored inverse, as in the reference
@@ -181,10 +192,14 @@ def augment_sample(
             # with small roll/pitch, NOT full SO(3)
             if not train:
                 R_part = np.eye(3)
-            elif yaw_augmentation:
-                R_part = _random_yaw_rotation(rng, roll_pitch_range)
             else:
-                R_part = _random_rotation(rng)
+                R_part = (
+                    _random_yaw_rotation(rng, roll_pitch_range)
+                    if yaw_augmentation
+                    else _random_rotation(rng)
+                )
+                if not rotate_parts:
+                    R_part = np.eye(3)  # draw consumed; stream stays aligned
             cond = (gt_i - center) @ R_part.T
             # pose invariant cond @ R^T + t == gt:
             # cond = (gt - c) @ R_part^T  =>  gt = cond @ R_part + c, so
@@ -252,6 +267,13 @@ class DatasetConfig:
     # model's rotation robustness can be measured honestly on held-out data
     # instead of only under the identity-pose protocol.
     augment_eval: bool = False
+    # decomposition of augment_eval for protocol diagnostics:
+    #   "full"        — global + per-part rotations (train-style, default)
+    #   "global_only" — rotate the scene frame, parts stay at GT orientation
+    #   "parts_only"  — scene frame stays canonical, parts get rotations
+    # Used to attribute rotated-vs-unrotated recall differences (the run-8
+    # inversion, docs/synthetic_training.md) to one of the two mechanisms.
+    augment_eval_mode: str = "full"
 
 
 class PointCloudDataset:
@@ -465,6 +487,12 @@ class PointCloudDataset:
         rng = np.random.default_rng(
             np.random.SeedSequence([self.cfg.seed, epoch, index])
         )
+        is_train_split = self.cfg.split.startswith("train")
+        mode = self.cfg.augment_eval_mode if (
+            self.cfg.augment_eval and not is_train_split
+        ) else "full"
+        if mode not in ("full", "global_only", "parts_only"):
+            raise ValueError(f"unknown augment_eval_mode: {mode!r}")
         return augment_sample(
             name=frag,
             dataset_name=self.cfg.dataset_name,
@@ -473,12 +501,14 @@ class PointCloudDataset:
             features=feats,
             normals=normals,
             rng=rng,
-            train=self.cfg.split.startswith("train") or self.cfg.augment_eval,
+            train=is_train_split or self.cfg.augment_eval,
             yaw_augmentation=self.cfg.yaw_augmentation,
             roll_pitch_range=self.cfg.roll_pitch_range,
             random_scale_range=self.cfg.random_scale_range,
             feat_dim=self.cfg.feat_dim,
             overlap_threshold=self.cfg.overlap_threshold,
+            rotate_global=mode in ("full", "global_only"),
+            rotate_parts=mode in ("full", "parts_only"),
         )
 
     def __getitem__(self, index: int) -> Sample:

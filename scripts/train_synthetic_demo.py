@@ -20,6 +20,7 @@ Usage: timeout 5400 python scripts/train_synthetic_demo.py \
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import logging
 import sys
@@ -50,6 +51,11 @@ def main(argv=None):
                          "ablation arms train on identical scenes")
     ap.add_argument("--layers", type=int, default=6)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--lr-decay-steps", default="",
+                    help="comma list of absolute step milestones where lr "
+                         "halves (MultiStepLR in steps instead of the "
+                         "reference's epoch milestones, which never trigger "
+                         "at synthetic-run scale); empty = constant lr")
     ap.add_argument("--batch-tokens", type=int, default=32_768)
     ap.add_argument("--t-scheme", default="u_shaped",
                     choices=["u_shaped", "logit_normal", "mode", "uniform",
@@ -83,6 +89,13 @@ def main(argv=None):
     ap.add_argument("--eval-rotated", action="store_true",
                     help="also evaluate val under train-style yaw rotations "
                          "(augment_eval protocol)")
+    ap.add_argument("--eval-rotated-decompose", action="store_true",
+                    help="with --eval-rotated: additionally evaluate the "
+                         "global_only / parts_only decomposition of the "
+                         "rotated protocol, attributing any rotated-vs-"
+                         "unrotated recall difference to the scene frame "
+                         "vs the per-part pose posterior (run-8 inversion "
+                         "diagnostic, docs/synthetic_training.md)")
     ap.add_argument("--eval-steps", type=int, default=10,
                     help="ODE steps at eval")
     ap.add_argument("--eval-schedule", default="uniform",
@@ -197,10 +210,17 @@ def main(argv=None):
         )
 
     params = init_dit_params(jax.random.key(0), model)
-    tx = build_optimizer(
-        OptimizerConfig(name="muon", lr=args.lr, grad_clip=0.5),
-        steps_per_epoch=max(len(train_ds) // 8, 1),
-    )
+    opt_cfg = OptimizerConfig(name="muon", lr=args.lr, grad_clip=0.5)
+    steps_per_epoch = max(len(train_ds) // 8, 1)
+    if args.lr_decay_steps:
+        opt_cfg = dataclasses.replace(
+            opt_cfg,
+            lr_milestones=tuple(
+                int(s) for s in args.lr_decay_steps.split(",")
+            ),
+        )
+        steps_per_epoch = 1  # milestones are absolute steps
+    tx = build_optimizer(opt_cfg, steps_per_epoch=steps_per_epoch)
     state = TrainState.create(params, tx, jax.random.key(1))
     logger.info("model: %.1fM params", param_count(params) / 1e6)
 
@@ -267,6 +287,15 @@ def main(argv=None):
             DatasetConfig(split="val", augment_eval=True, **ds_kw)
         )
         summary["val_rotated"] = run_eval(rot_ds, "val scenes (rotated)")
+        if args.eval_rotated_decompose:
+            for mode in ("global_only", "parts_only"):
+                mds = PointCloudDataset(DatasetConfig(
+                    split="val", augment_eval=True,
+                    augment_eval_mode=mode, **ds_kw,
+                ))
+                summary[f"val_rotated_{mode}"] = run_eval(
+                    mds, f"val scenes (rotated:{mode})"
+                )
     (out / "summary.json").write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary))
 

@@ -118,6 +118,37 @@ class TestAugmentation:
                     tilts.append(abs(s.rotations[p][2, 2] - 1.0))
         assert max(tilts) > 0.1
 
+    def test_rotation_decomposition_modes(self):
+        """augment_eval decomposition (run-8 inversion diagnostic): the
+        rotate_global / rotate_parts switches isolate one mechanism each,
+        keep the RNG stream aligned across modes, and preserve the pose
+        invariant in every mode."""
+        def make(seed, **kw):
+            return _make_sample(np.random.default_rng(seed), train=True, **kw)
+
+        full = make(11)
+        glob_only = make(11, rotate_parts=False)
+        parts_only = make(11, rotate_global=False)
+        # global_only: every part keeps its GT orientation
+        for p in range(glob_only.num_parts):
+            np.testing.assert_allclose(glob_only.rotations[p], np.eye(3),
+                                       atol=1e-7)
+        # parts_only: the scene frame stays canonical
+        np.testing.assert_allclose(parts_only.global_rotation, np.eye(3),
+                                   atol=1e-7)
+        # RNG alignment: per-part rotation draws are identical when the
+        # global draw is consumed-but-ignored (parts_only vs full)
+        for p in range(full.num_parts):
+            np.testing.assert_allclose(parts_only.rotations[p],
+                                       full.rotations[p], atol=1e-7)
+        # global_only shares the scene frame (and thus points_gt) with full
+        np.testing.assert_allclose(glob_only.global_rotation,
+                                   full.global_rotation, atol=1e-7)
+        for s in (full, glob_only, parts_only):
+            for p in range(s.num_parts):
+                rec = s.points[p] @ s.rotations[p].T + s.translations[p]
+                np.testing.assert_allclose(rec, s.points_gt[p], atol=1e-5)
+
 
 def _write_folder_dataset(root, rng, frags=3, parts=2):
     (root / "data_split").mkdir(parents=True)
