@@ -1,0 +1,275 @@
+"""Network-day on-ramp: download -> convert -> golden-test -> demo, in one command.
+
+This environment has zero egress, so the released reference checkpoints
+(rap_model_12.ckpt from HF `PRBonn/RAP` / the IPB weights.zip, ref
+checkpoint.py:64-71 and demo.py:66-120; spinnet_*_bufferx.pth, ref
+extract_sample_features.py:973) have never been validated end-to-end. The
+first session WITH network should spend minutes, not a round — this script
+is that session's single command:
+
+  1. resolve + download `rap_model_12.ckpt` (rap_tpu.train.weights);
+  2. convert torch -> JAX pytree (rap_tpu.train.checkpoint);
+  3. GOLDEN-TEST the conversion: load the same state dict into the actual
+     reference PointCloudDiT (imported via tests/reference_stubs.py) and
+     compare forward outputs on a small batch in fp32;
+  4. export the compact npz distribution artifact;
+  5. resolve + convert a SpinNet checkpoint and smoke-check descriptors
+     (unit-norm, finite; full math parity lives in tests/test_spinnet.py);
+  6. run the end-to-end demo on the bundled PLY pair with the real weights.
+
+Offline dry run (exercised by tests/test_onramp.py and runnable today):
+
+  python scripts/network_onramp.py --fabricate --layers 2
+
+fabricates reference-named torch checkpoints into a temp cache first, then
+runs the identical pipeline — so the network-day path is already tested.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))  # reference_stubs (reference import shims)
+
+logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+logger = logging.getLogger("network_onramp")
+
+
+def fabricate_cache(cache: Path, layers: int, seed: int = 0) -> None:
+    """Write reference-named fake checkpoints into `cache` (offline dry run).
+
+    The rap ckpt is a Lightning-style dict with `flow_model.`-prefixed keys
+    (ref checkpoint.py:28-43); the spinnet ckpt carries the `Desc.` prefix
+    (ref extract_sample_features.py:127-136).
+    """
+    import jax
+    import numpy as np
+    import torch
+
+    from rap_tpu.models import DiTConfig
+    from rap_tpu.models.dit import init_dit_params
+    from rap_tpu.train.checkpoint import export_torch_state_dict
+
+    cache.mkdir(parents=True, exist_ok=True)
+    cfg = DiTConfig(num_layers=layers)
+    params = init_dit_params(jax.random.key(seed), cfg)
+    sd = {
+        "flow_model." + k: torch.as_tensor(np.asarray(v))
+        for k, v in export_torch_state_dict(params, layers).items()
+    }
+    torch.save({"state_dict": sd}, cache / "rap_model_12.ckpt")
+
+    from reference_stubs import import_reference_spinnet
+
+    from rap_tpu.spinnet import build_feature_extractor
+
+    sn_ref = import_reference_spinnet()
+    # A random MiniSpinNet init is usually DEAD: the conv/BN stack feeding
+    # the attention pool often lands all-negative pre-ReLU, so descriptors
+    # come out exactly zero (a trained checkpoint never does this). Probe
+    # deterministic seeds until the fabricated model produces live
+    # unit-norm descriptors, so the dry run exercises the same assertions a
+    # real checkpoint must pass.
+    probe = np.random.default_rng(0).uniform(-1, 1, (512, 3)).astype(np.float32)
+    for trial in range(16):
+        torch.manual_seed(seed + trial)
+        model = sn_ref.MiniSpinNet(des_r=1.0, num_points_per_patch=64)
+        # fresh BN running stats (mean 0 / var 1) also gate the pool to
+        # zero; randomize the buffers as a trained model would have them
+        g = torch.Generator().manual_seed(seed + trial)
+        for name, buf in model.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(torch.randn(buf.shape, generator=g) * 0.05)
+            elif name.endswith("running_var"):
+                buf.copy_(torch.rand(buf.shape, generator=g) * 0.5 + 0.75)
+        sn_sd = {"Desc." + k: v for k, v in model.state_dict().items()}
+        torch.save({"state_dict": sn_sd}, cache / "spinnet_3dmatch_bufferx.pth")
+        fx = build_feature_extractor(str(cache / "spinnet_3dmatch_bufferx.pth"))
+        norms = np.linalg.norm(np.asarray(fx(probe, probe[:4], 0.5)), axis=1)
+        if np.all(np.abs(norms - 1) < 1e-3):
+            logger.info("spinnet fixture live at seed %d", seed + trial)
+            break
+    else:
+        raise RuntimeError("no live MiniSpinNet init found in 16 seeds")
+    logger.info("fabricated checkpoints in %s", cache)
+
+
+def golden_test_dit(ckpt_path: Path, layers: int) -> float:
+    """Convert the downloaded ckpt and compare our forward against the
+    REFERENCE PointCloudDiT running the same weights. Returns max |diff|."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    from rap_tpu.core.batch import make_regular_synthetic_batch
+    from rap_tpu.models import DiTConfig, dit_forward
+    from rap_tpu.train.checkpoint import load_torch_checkpoint, strip_prefix
+    from reference_stubs import import_reference_dit
+
+    cfg = DiTConfig(num_layers=layers, compute_dtype=jnp.float32,
+                    attn_impl="dense")
+    params = load_torch_checkpoint(ckpt_path, layers)
+
+    N, P = 16, 2
+    batch = make_regular_synthetic_batch(
+        jax.random.key(0), [[N, N]], N=N, P=P, S=1,
+        feat_dim=cfg.local_feat_dim,
+    )
+    x = jax.random.normal(jax.random.key(2), batch.points.shape)
+    tval = 0.37
+    v_jax = np.asarray(
+        dit_forward(params, cfg, x, jnp.asarray([tval]), batch,
+                    parts_per_sample=P)
+    ).reshape(-1, 3)
+
+    PointCloudDiT = import_reference_dit()
+    model = PointCloudDiT(
+        in_dim=0, out_dim=3, embed_dim=cfg.embed_dim, num_layers=layers,
+        num_heads=cfg.num_heads, qk_norm=True, attn_dtype="float32",
+        local_feat_concat_on=True, local_feat_dim=cfg.local_feat_dim,
+        max_points_per_part=N, max_points_per_batch=P * N,
+    )
+    raw = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = strip_prefix(raw.get("state_dict", raw), "flow_model.")
+    model.load_state_dict(
+        {k: torch.as_tensor(np.asarray(v)) for k, v in sd.items()}, strict=True
+    )
+    model = model.float().eval()
+    with torch.no_grad():
+        v_ref = model(
+            torch.as_tensor(np.asarray(x).reshape(-1, 3)).float(),
+            torch.tensor([tval]).float(),
+            torch.as_tensor(np.asarray(batch.points).reshape(-1, 3)).float(),
+            torch.as_tensor(
+                np.asarray(batch.local_feats).reshape(-1, cfg.local_feat_dim)
+            ).float(),
+            None,
+            torch.as_tensor(np.asarray(batch.scale)).float(),
+            torch.as_tensor(np.repeat(np.asarray(batch.anchor_part), N)),
+            torch.tensor([0, P * N], dtype=torch.int32),
+            torch.tensor([0, N, 2 * N], dtype=torch.int32),
+        ).numpy()
+    err = float(np.max(np.abs(v_jax - v_ref)))
+    rel = err / max(float(np.max(np.abs(v_ref))), 1e-9)
+    logger.info("DiT golden forward: max abs err %.2e (rel %.2e)", err, rel)
+    if rel > 1e-3:
+        raise AssertionError(
+            f"converted forward diverges from reference torch module "
+            f"(rel {rel:.2e}) — conversion map needs updating for the "
+            f"released checkpoint"
+        )
+    return err
+
+
+def smoke_test_spinnet(ckpt_path: Path) -> None:
+    """Convert + run the descriptor head once; assert unit-norm finite 32-d
+    output (bitwise math parity vs torch lives in tests/test_spinnet.py)."""
+    import numpy as np
+
+    from rap_tpu.spinnet import build_feature_extractor
+
+    fx = build_feature_extractor(str(ckpt_path))
+    rng = np.random.default_rng(0)
+    cloud = rng.uniform(-1, 1, (512, 3)).astype(np.float32)
+    desc = np.asarray(fx(cloud, cloud[:16], 0.5))
+    assert desc.shape == (16, 32), desc.shape
+    assert np.all(np.isfinite(desc)), "non-finite descriptors"
+    norms = np.linalg.norm(desc, axis=1)
+    assert np.all(np.abs(norms - 1) < 1e-3), f"not unit-norm: {norms[:4]}"
+    logger.info("SpinNet conversion OK (unit-norm 32-d descriptors)")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--fabricate", action="store_true",
+                    help="offline dry run: fabricate reference-named "
+                         "checkpoints into a temp cache first")
+    ap.add_argument("--layers", type=int, default=12,
+                    help="DiT depth of the checkpoint (rap_model_12 = 12; "
+                         "use a small value with --fabricate for speed)")
+    ap.add_argument("--ckpt", default="rap_model_12.ckpt",
+                    help="checkpoint name or path to resolve")
+    ap.add_argument("--spinnet-ckpt", default="spinnet_3dmatch_bufferx.pth")
+    ap.add_argument("--export", default="demo_data/ckpts/rap_model_12.npz",
+                    help="npz export path for the converted params "
+                         "('' = skip)")
+    ap.add_argument("--skip-demo", action="store_true")
+    ap.add_argument("--cache", default="",
+                    help="cache dir override (default: RAP_TPU_CACHE or "
+                         "~/.cache/rap_tpu/weights)")
+    args = ap.parse_args(argv)
+
+    tmp = None
+    if args.fabricate and not args.cache:
+        tmp = tempfile.TemporaryDirectory(prefix="rap_onramp_")
+        args.cache = tmp.name
+    if args.cache:
+        os.environ["RAP_TPU_CACHE"] = args.cache
+
+    # keep the dry run (and the conversion itself) off the TPU tunnel —
+    # a training run may own it; conversion + golden test are CPU work
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    if args.fabricate:
+        fabricate_cache(Path(args.cache), args.layers)
+
+    from rap_tpu.train.weights import resolve_checkpoint
+
+    t0 = time.time()
+    ckpt = resolve_checkpoint(args.ckpt)
+    logger.info("resolved %s -> %s", args.ckpt, ckpt)
+    golden_test_dit(ckpt, args.layers)
+
+    if args.export:
+        from rap_tpu.models import DiTConfig
+        from rap_tpu.train.checkpoint import load_torch_checkpoint, save_params_npz
+
+        out = Path(args.export)
+        save_params_npz(out, load_torch_checkpoint(ckpt, args.layers))
+        logger.info("exported %s (%.1f MB)", out,
+                    out.stat().st_size / 1e6)
+
+    sn = resolve_checkpoint(args.spinnet_ckpt)
+    logger.info("resolved %s -> %s", args.spinnet_ckpt, sn)
+    smoke_test_spinnet(sn)
+
+    if not args.skip_demo:
+        from rap_tpu.apps.demo import main as demo_main
+
+        demo_out = str(REPO / "demo_output_onramp")
+        rc = demo_main([
+            "-i", str(REPO / "demo_data" / "pair"), "-out", demo_out,
+            "--checkpoint", args.export or str(ckpt),
+            "--model", "rap_12" if args.layers == 12 else "rap_12",
+            "--override", f"model.num_layers={args.layers}",
+            "--features", "spinnet", "--spinnet-checkpoint", str(sn),
+            "--num-steps", "4",
+        ])
+        if rc not in (0, None):
+            raise SystemExit(f"demo failed with rc={rc}")
+        logger.info("demo output in %s", demo_out)
+
+    print(json.dumps({
+        "ckpt": str(ckpt), "spinnet": str(sn),
+        "export": args.export or None,
+        "golden": "pass", "elapsed_s": round(time.time() - t0, 1),
+    }))
+    if tmp is not None:
+        tmp.cleanup()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
