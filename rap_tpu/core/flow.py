@@ -50,6 +50,20 @@ def sample_timesteps(
         base = (jnp.arcsinh(z * math.sinh(a)) / a + 1.0) / 2.0
         late = jax.random.uniform(k_late, (batch_size,), minval=0.7, maxval=1.0)
         u = jnp.where(jax.random.bernoulli(k_pick, 0.5, (batch_size,)), late, base)
+    elif scheme.startswith("euler"):
+        # TPU-side distillation-recipe extension (no reference counterpart):
+        # sample t uniformly from the k-step Euler query grid
+        # {1, (k-1)/k, ..., 1/k} — exactly the timesteps a k-step Euler
+        # sampler evaluates the model at. Used as the final fine-tune stage
+        # of reflow distillation (scripts/reflow_distill.py) so the student's
+        # capacity concentrates on the few points the deployed few-step
+        # protocol actually queries. "euler1" trains the pure 1-step map
+        # v(x_1, t=1) -> x_1 - x_0.
+        k = int(scheme[len("euler"):])
+        if k < 1:
+            raise ValueError(f"euler scheme needs k >= 1, got {scheme!r}")
+        idx = jax.random.randint(key, (batch_size,), 0, k)
+        u = 1.0 - idx.astype(jnp.float32) / k
     else:
         raise ValueError(f"Invalid timestep sampling scheme: {scheme}")
     return jnp.clip(u, eps, 1.0)

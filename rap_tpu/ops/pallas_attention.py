@@ -14,12 +14,17 @@ Forward:
   base-2 logsumexp per query row (residual for the backward).
 
 Backward (standard flash-attn recomputation, wrapped in jax.custom_vjp):
-  delta = rowsum(dO * O) computed in XLA; then two kernels that recompute
+  delta = rowsum(dO * O) computed in XLA and folded into the dp matmul as a
+  -delta column on dO against V's ones column (dO_aug·V_augᵀ = dO·Vᵀ - delta
+  — the backward twin of the forward's in-matmul rowsum); kernels recompute
   p = exp2(s2 - lse2) per tile:
     dKV kernel, grid (B*H, Tk/BK, Tq/BQ) q-innermost:  dV += p^T dO,
-      dS = p*(dO V^T - delta), dK += (dS·ds/dz)^T Q
-    dQ kernel,  grid (B*H, Tq/BQ, Tk/BK) k-innermost:  dQ += (dS·ds/dz) K
-  Fully-masked rows carry lse=+BIG so recomputed p is exactly 0.
+      dS = p*(dO V^T - delta), dK += ln2·dS^T Q   [ln2 folded at finalize]
+    dQ kernel,  grid (B*H, Tq/BQ, Tk/BK) k-innermost:  dQ += ln2·dS K
+  Fully-masked rows carry lse=+BIG so recomputed p is exactly 0. The
+  per-logit VPU chain is exp2 + one multiply + casts; everything else rides
+  the MXU or the per-output-element finalize (the kernels are VPU-bound at
+  d=64 — every per-logit op removed is measurable).
 
 The kernel is VPU-bound at head_dim 64 (exp2 + select + reductions per logit
 element vs a half-utilized 128-wide MXU), so every per-element VPU op counts.
@@ -306,14 +311,12 @@ def _flash_hm_full_va_fwd(qh, kh, vha, bound, softcap, block_q, block_k,
 
 def _flash_hm_full_va_bwd(softcap, block_q, block_k, interpret, res, dout):
     qh, kh, vha, out, lse = res
-    d = vha.shape[2] - 1
-    vh = vha[:, :, :d]
     B = 1  # all-valid mask shared by every (batch, head) row
     maski = jnp.ones((B, 1, kh.shape[1]), jnp.int32)
     bq = _divisor_cap(block_q, BWD_BQ_CAP)
     bk = _divisor_cap(block_k, BWD_BK_CAP)
     dq, dk, dv = _bwd_impl(
-        qh, kh, vh, maski, out, lse, dout.astype(qh.dtype),
+        qh, kh, vha, maski, out, lse, dout.astype(qh.dtype),
         softcap, bq, bk, interpret, masked=False,
     )
     dva = jnp.pad(dv, ((0, 0), (0, 0), (0, 1)))  # ones column: zero cotangent
@@ -363,24 +366,35 @@ def flash_attention_headmajor(
 # backward kernels
 # ---------------------------------------------------------------------------
 
-def _recompute_p_ds(q, k, mask, all_valid, lse_row, do, v, delta_row, softcap,
+def _recompute_p_ds(q, k, mask, all_valid, lse_row, do_aug, va, softcap,
                     masked: bool = True):
-    """Shared tile math on pre-scaled q: recomputed softmax p and dz' = the
-    gradient wrt the pre-scaled logit q'·k. Shapes: q (BQ,d), k (BK,d).
+    """Shared tile math on pre-scaled q: recomputed softmax p and the softmax
+    gradient ds = p (dp - delta). Shapes: q (BQ,d), k (BK,d), do_aug
+    (BQ,d+1) = [dO | -delta], va (BK,d+1) = [V | 1].
 
-    No-softcap: s2 = z', dz' = ln2 · p (dp - delta)  [the wrapper's q-scaling
-    op chains the remaining scale factor via ordinary autodiff].
-    Softcap c:  s2 = c·log2e·tanh(z'), s_e = c·tanh(z'),
-                dz' = c·(1 - tanh^2) · p (dp - delta).
+    The (dp - delta) combine rides the MXU: contracting the -delta column of
+    dO against V's constant ones column emits dO·Vᵀ - delta directly
+    (the backward twin of the forward's in-matmul rowsum trick; both
+    augmented operands share the V tile the forward already stores). The
+    per-logit VPU chain is thereby exp2 + one multiply + casts — the
+    broadcast subtract and (for the no-softcap path) the ×ln2 multiply are
+    gone. Per-element ops are what bound the backward: every matmul here is
+    a half-MXU d=64 shape, so the VPU chain is NOT hidden behind it
+    (BASELINE.md bwd sweep history).
 
-    ``do`` arrives in its storage dtype (bf16): both tile matmuls here and
-    the grad matmuls in the callers run bf16×bf16 with fp32 accumulation —
-    fp32 operand matmuls run the MXU at a fraction of its bf16 rate and were
-    the measured bottleneck of the backward (BASELINE.md: 28.6 TFLOP/s
-    fwd+bwd before, with every grad matmul in fp32). p and dz are returned
-    cast to the inputs' storage dtype (bf16 in the model path) for the
-    callers' MXU matmuls; the softmax recompute and the (dp - delta)
-    combination stay fp32 (flash-attn's standard precision split).
+    No-softcap: s2 = z', dz' = ln2 · ds — the ln2 is folded by the CALLERS
+    into the dk finalize / the dq partials sum (one multiply per T·d output
+    element instead of per T² logit element).
+    Softcap c:  s2 = c·log2e·tanh(z'), dz' = c·(1 - tanh²) · ds — per-logit
+    dsdz stays in-kernel (rare path; callers then apply NO extra scale).
+
+    Precision: the -delta column is cast to dO's storage dtype (bf16 in the
+    model path) — delta itself carries bf16 rounding (~2⁻⁹ relative), the
+    same order as the bf16 dO it is derived from; fp32 inputs (precision
+    oracles, interpret tests) keep fp32 end-to-end and stay exact. p and ds
+    are returned cast to the storage dtype for the callers' MXU matmuls;
+    softmax recompute and the combine stay fp32 (flash-attn's precision
+    split).
     """
     z = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -391,27 +405,28 @@ def _recompute_p_ds(q, k, mask, all_valid, lse_row, do, v, delta_row, softcap,
         dsdz = softcap * (1.0 - th * th)
     else:
         s2 = z
-        dsdz = LN2
+        dsdz = None  # ln2 folded by the callers (see docstring)
     # `all_valid |` keeps the select on Mosaic's fast path; the no-padding
     # backward passes masked=False (static) and skips the select entirely
     if masked:
         s2 = jnp.where(all_valid | mask[None, :], s2, NEG_INF)
     p = jnp.exp2(s2 - lse_row)                                    # (BQ, BK)
-    dp = jax.lax.dot_general(
-        do, v.astype(do.dtype), (((1,), (1,)), ((), ())),
+    dpd = jax.lax.dot_general(
+        do_aug, va.astype(do_aug.dtype), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (BQ, BK)
-    ds = p * (dp - delta_row)      # base-e softmax gradient wrt s_e
-    dz = ds * dsdz
+    )  # (BQ, BK) = dO·Vᵀ - delta
+    ds = p * dpd                   # base-e softmax gradient wrt s_e
+    if dsdz is not None:
+        ds = ds * dsdz
     # cast to the storage dtype (bf16 in the model path; fp32 inputs — e.g.
     # precision oracles — keep fp32 and stay exact)
-    return p.astype(q.dtype), dz.astype(q.dtype)
+    return p.astype(q.dtype), ds.astype(q.dtype)
 
 
 def _flash_bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+    q_ref, k_ref, va_ref, mask_ref, doa_ref, lse_ref,
     dk_ref, dv_ref, dk_acc, dv_acc,
-    *, softcap: float, num_q_blocks: int, masked: bool = True,
+    *, softcap: float, num_q_blocks: int, d: int, masked: bool = True,
 ):
     i = pl.program_id(2)  # q block (innermost)
 
@@ -426,30 +441,35 @@ def _flash_bwd_dkv_kernel(
     @pl.when(jnp.any(mask) if masked else i >= 0)
     def _compute():
         q = q_ref[0]
-        do = do_ref[0]                        # storage dtype (bf16) for MXU
+        doa = doa_ref[0]                      # [dO | -delta], storage dtype
         lse_row = lse_ref[0, 0][:, None]      # (BQ, 1)
-        delta_row = delta_ref[0, 0][:, None]  # (BQ, 1)
-        p, dz = _recompute_p_ds(
-            q, k_ref[0], mask, all_valid, lse_row, do, v_ref[0], delta_row,
+        p, ds = _recompute_p_ds(
+            q, k_ref[0], mask, all_valid, lse_row, doa, va_ref[0],
             softcap, masked=masked,
         )
-        # dV += p^T dO ; dK += dz^T Q — bf16 operands, fp32 accumulation
+        # dV += p^T dOa ; dK += ds^T Q — bf16 operands, fp32 accumulation.
+        # dOa's extra -delta column lands in dv_acc column d (discarded at
+        # finalize): same MXU tile either way, no extra pass.
         dv_acc[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p, doa, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         dk_acc[:] += jax.lax.dot_general(
-            dz, q, (((0,), (0,)), ((), ())),
+            ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
     @pl.when(i == num_q_blocks - 1)
     def _finalize():
-        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
-        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+        # no-softcap: ds lacks the ln2 factor — fold it here, once per
+        # T·d output element instead of per T² logit (see _recompute_p_ds)
+        kscale = LN2 if softcap == 0.0 else 1.0
+        dk_ref[0] = (dk_acc[:] * kscale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:, :d].astype(dv_ref.dtype)
 
 
 def _flash_bwd_dq_kernel(
-    q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+    q_ref, k_ref, va_ref, mask_ref, doa_ref, lse_ref,
     dq_ref, dq_acc,
     *, softcap: float, num_k_blocks: int, masked: bool = True,
 ):
@@ -465,27 +485,28 @@ def _flash_bwd_dq_kernel(
     @pl.when(jnp.any(mask) if masked else j >= 0)
     def _compute():
         q = q_ref[0]
-        do = do_ref[0]
+        doa = doa_ref[0]
         lse_row = lse_ref[0, 0][:, None]
-        delta_row = delta_ref[0, 0][:, None]
-        _, dz = _recompute_p_ds(
-            q, k_ref[0], mask, all_valid, lse_row, do, v_ref[0], delta_row,
+        _, ds = _recompute_p_ds(
+            q, k_ref[0], mask, all_valid, lse_row, doa, va_ref[0],
             softcap, masked=masked,
         )
         dq_acc[:] += jax.lax.dot_general(
-            dz, k_ref[0], (((1,), (0,)), ((), ())),
+            ds, k_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
     @pl.when(j == num_k_blocks - 1)
     def _finalize():
-        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+        # fold the deferred ln2 (see _recompute_p_ds) per output element
+        qscale = LN2 if softcap == 0.0 else 1.0
+        dq_ref[0] = (dq_acc[:] * qscale).astype(dq_ref.dtype)
 
 
 def _flash_bwd_fused_kernel(
-    q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+    q_ref, k_ref, va_ref, mask_ref, doa_ref, lse_ref,
     dq_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-    *, softcap: float, num_q_blocks: int, masked: bool = True,
+    *, softcap: float, num_q_blocks: int, d: int, masked: bool = True,
 ):
     """Single-pass backward: one tile recompute feeds dQ, dK and dV.
 
@@ -495,8 +516,8 @@ def _flash_bwd_fused_kernel(
     XLA afterwards (a dq VMEM accumulator is impossible here — the q block
     changes every inner step, and Mosaic flushes an output block on revisit).
     Versus the split two-kernel backward this computes the QK^T recompute,
-    the dO·V^T matmul and the whole softmax-gradient VPU chain ONCE instead
-    of twice: 5 matmul units per tile instead of 7.
+    the dO_aug·V_aug^T matmul and the whole softmax-gradient VPU chain ONCE
+    instead of twice: 5 matmul units per tile instead of 7.
 
     No `pl.when(any(mask))` guard: vector-derived predicates PREDICATE on
     Mosaic (both sides execute — see module notes), so the guard buys no
@@ -513,33 +534,48 @@ def _flash_bwd_fused_kernel(
     mask = mask_ref[0, 0, :] > 0 if masked else None
     all_valid = jnp.all(mask) if masked else None
     q = q_ref[0]
-    do = do_ref[0]                        # storage dtype (bf16) for MXU
+    doa = doa_ref[0]                      # [dO | -delta], storage dtype
     lse_row = lse_ref[0, 0][:, None]      # (BQ, 1)
-    delta_row = delta_ref[0, 0][:, None]  # (BQ, 1)
-    p, dz = _recompute_p_ds(
-        q, k_ref[0], mask, all_valid, lse_row, do, v_ref[0], delta_row,
+    p, ds = _recompute_p_ds(
+        q, k_ref[0], mask, all_valid, lse_row, doa, va_ref[0],
         softcap, masked=masked,
     )
-    # dV += p^T dO ; dK += dz^T Q — bf16 operands, fp32 accumulation
+    # dV += p^T dOa ; dK += ds^T Q — bf16 operands, fp32 accumulation.
+    # dOa's -delta column lands in dv_acc column d (dropped at finalize).
     dv_acc[:] += jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p, doa, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     dk_acc[:] += jax.lax.dot_general(
-        dz, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    # this kv block's dq contribution, fp32 partial (summed over kv in XLA)
+    # this kv block's dq contribution, fp32 partial (summed over kv in XLA,
+    # where the deferred ln2 of the no-softcap path is also applied)
     dq_ref[0, 0] = jax.lax.dot_general(
-        dz, k_ref[0], (((1,), (0,)), ((), ())),
+        ds, k_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
     @pl.when(i == num_q_blocks - 1)
     def _finalize():
-        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
-        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+        # fold the deferred ln2 (see _recompute_p_ds) per output element
+        kscale = LN2 if softcap == 0.0 else 1.0
+        dk_ref[0] = (dk_acc[:] * kscale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:, :d].astype(dv_ref.dtype)
 
 
-def _bwd_fused_impl(qh, kh, vh, maski, out, lse, doh, softcap,
+def _augment_do(doh, out):
+    """[dO | -delta] in dO's storage dtype: the -delta column contracts
+    against V's ones column so the dp matmul emits dO·Vᵀ - delta directly
+    (see _recompute_p_ds). delta is computed fp32 (tiny elementwise reduce,
+    XLA fuses it) and carries one storage-dtype rounding."""
+    delta = jnp.sum(
+        doh.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
+        keepdims=True,
+    )  # (BH, Tqp, 1)
+    return jnp.concatenate([doh, (-delta).astype(doh.dtype)], axis=-1)
+
+
+def _bwd_fused_impl(qh, kh, vha, maski, out, lse, doh, softcap,
                     block_q, block_k, interpret, masked=True):
     BH, Tqp, d = qh.shape
     Tkp = kh.shape[1]
@@ -547,24 +583,21 @@ def _bwd_fused_impl(qh, kh, vh, maski, out, lse, doh, softcap,
     H = BH // B
     nq, nk = Tqp // block_q, Tkp // block_k
 
-    delta = jnp.sum(
-        doh.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
-    )[:, None, :]  # (BH, 1, Tqp)
+    doa = _augment_do(doh, out)
 
     dq_part, dk, dv = pl.pallas_call(
         functools.partial(
-            _flash_bwd_fused_kernel, softcap=softcap, num_q_blocks=nq,
+            _flash_bwd_fused_kernel, softcap=softcap, num_q_blocks=nq, d=d,
             masked=masked,
         ),
         grid=(BH, nk, nq),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),   # q
             pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),   # k
-            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),   # v
+            pl.BlockSpec((1, block_k, d + 1), lambda b, j, i: (b, j, 0)),  # va
             pl.BlockSpec((1, 1, block_k), lambda b, j, i: (b // H, 0, j)),
-            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),   # do
+            pl.BlockSpec((1, block_q, d + 1), lambda b, j, i: (b, i, 0)),  # doa
             pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i)),   # lse
-            pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i)),   # delta
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b, j, i: (b, j, i, 0)),
@@ -574,15 +607,16 @@ def _bwd_fused_impl(qh, kh, vh, maski, out, lse, doh, softcap,
         out_shape=[
             jax.ShapeDtypeStruct((BH, nk, Tqp, d), jnp.float32),
             jax.ShapeDtypeStruct((BH, Tkp, d), kh.dtype),
-            jax.ShapeDtypeStruct((BH, Tkp, d), vh.dtype),
+            jax.ShapeDtypeStruct((BH, Tkp, d), vha.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
-            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d + 1), jnp.float32),
         ],
         interpret=interpret,
-    )(qh, kh, vh, maski, doh, lse, delta)
-    dq = dq_part.sum(axis=1).astype(qh.dtype)
+    )(qh, kh, vha, maski, doa, lse)
+    qscale = LN2 if softcap == 0.0 else 1.0
+    dq = (dq_part.sum(axis=1) * qscale).astype(qh.dtype)
     return dq, dk, dv
 
 
@@ -602,23 +636,23 @@ BWD_BK_CAP = 1024
 _FUSED_DQ_PARTIALS_CAP = 2 * 2**30
 
 
-def _bwd_impl(qh, kh, vh, maski, out, lse, doh, softcap,
+def _bwd_impl(qh, kh, vha, maski, out, lse, doh, softcap,
               block_q, block_k, interpret, masked=True):
     BH, Tqp, d = qh.shape
     nk = kh.shape[1] // block_k
     fused_bytes = BH * nk * Tqp * d * 4
     if BWD_IMPL == "fused" and fused_bytes <= _FUSED_DQ_PARTIALS_CAP:
         return _bwd_fused_impl(
-            qh, kh, vh, maski, out, lse, doh, softcap, block_q, block_k,
+            qh, kh, vha, maski, out, lse, doh, softcap, block_q, block_k,
             interpret, masked=masked,
         )
     return _bwd_split_impl(
-        qh, kh, vh, maski, out, lse, doh, softcap, block_q, block_k,
+        qh, kh, vha, maski, out, lse, doh, softcap, block_q, block_k,
         interpret, masked=masked,
     )
 
 
-def _bwd_split_impl(qh, kh, vh, maski, out, lse, doh, softcap,
+def _bwd_split_impl(qh, kh, vha, maski, out, lse, doh, softcap,
                     block_q, block_k, interpret, masked=True):
     BH, Tqp, d = qh.shape
     Tkp = kh.shape[1]
@@ -626,23 +660,19 @@ def _bwd_split_impl(qh, kh, vh, maski, out, lse, doh, softcap,
     H = BH // B
     nq, nk = Tqp // block_q, Tkp // block_k
 
-    # delta = rowsum(dO * O): tiny elementwise reduce, XLA fuses it fine
-    delta = jnp.sum(
-        doh.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
-    )[:, None, :]  # (BH, 1, Tqp) — singleton middle dim for Mosaic blocks
+    doa = _augment_do(doh, out)
 
     common_specs = [
         pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),   # q
         pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),   # k
-        pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),   # v
+        pl.BlockSpec((1, block_k, d + 1), lambda b, j, i: (b, j, 0)),  # va
         pl.BlockSpec((1, 1, block_k), lambda b, j, i: (b // H, 0, j)),  # mask
-        pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),   # do
+        pl.BlockSpec((1, block_q, d + 1), lambda b, j, i: (b, i, 0)),  # doa
         pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i)),   # lse
-        pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i)),   # delta
     ]
     dk, dv = pl.pallas_call(
         functools.partial(
-            _flash_bwd_dkv_kernel, softcap=softcap, num_q_blocks=nq,
+            _flash_bwd_dkv_kernel, softcap=softcap, num_q_blocks=nq, d=d,
             masked=masked,
         ),
         grid=(BH, nk, nq),
@@ -653,23 +683,22 @@ def _bwd_split_impl(qh, kh, vh, maski, out, lse, doh, softcap,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((BH, Tkp, d), kh.dtype),
-            jax.ShapeDtypeStruct((BH, Tkp, d), vh.dtype),
+            jax.ShapeDtypeStruct((BH, Tkp, d), vha.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
-            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d + 1), jnp.float32),
         ],
         interpret=interpret,
-    )(qh, kh, vh, maski, doh, lse, delta)
+    )(qh, kh, vha, maski, doa, lse)
 
     dq_specs = [
         pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),   # q
         pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),   # k
-        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),   # v
+        pl.BlockSpec((1, block_k, d + 1), lambda b, i, j: (b, j, 0)),  # va
         pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b // H, 0, j)),  # mask
-        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),   # do
+        pl.BlockSpec((1, block_q, d + 1), lambda b, i, j: (b, i, 0)),  # doa
         pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),   # lse
-        pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),   # delta
     ]
     dq = pl.pallas_call(
         functools.partial(
@@ -682,7 +711,7 @@ def _bwd_split_impl(qh, kh, vh, maski, out, lse, doh, softcap,
         out_shape=jax.ShapeDtypeStruct((BH, Tqp, d), qh.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         interpret=interpret,
-    )(qh, kh, vh, maski, doh, lse, delta)
+    )(qh, kh, vha, maski, doa, lse)
     return dq, dk, dv
 
 
@@ -724,8 +753,12 @@ def _flash_hm_bwd(softcap, block_q, block_k, interpret, res, dout):
     # 229 -> 216 ms). Caps must divide the forward-padded sequence lengths.
     bq = _divisor_cap(block_q, BWD_BQ_CAP)
     bk = _divisor_cap(block_k, BWD_BK_CAP)
+    # the bwd kernels consume ones-augmented V (see _recompute_p_ds); the
+    # masked path stores raw vh, so augment here (same VMEM tile: 65 lanes
+    # round to the same 128-lane tile as 64)
+    vha = jnp.pad(vh, ((0, 0), (0, 0), (0, 1)), constant_values=1.0)
     dq, dk, dv = _bwd_impl(
-        qh, kh, vh, maski, out, lse, dout.astype(qh.dtype),
+        qh, kh, vha, maski, out, lse, dout.astype(qh.dtype),
         softcap, bq, bk, interpret,
     )
     dmask = jnp.zeros(maski.shape, dtype=jax.dtypes.float0)

@@ -62,6 +62,19 @@ def main(argv=None):
     ap.add_argument("--max-couples", type=int, default=2000,
                     help="cap on stored couple batches (host RAM)")
     ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--rounds", type=int, default=1,
+                    help="reflow iterations: each round regenerates couples "
+                         "from the CURRENT student and retrains on them "
+                         "(2-rectified / 3-rectified flow; straighter every "
+                         "round, Liu et al. 2022 §3)")
+    ap.add_argument("--final-t-scheme", default="",
+                    help="optional final fine-tune t scheme on the last "
+                         "round's couples, e.g. 'euler2' (sample t only on "
+                         "the 2-step Euler query grid) or 'euler1' (the pure "
+                         "1-step map) — concentrates student capacity on the "
+                         "timesteps the deployed few-step protocol queries")
+    ap.add_argument("--final-steps", type=int, default=1000,
+                    help="steps for the --final-t-scheme fine-tune stage")
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--yaw-aug", action="store_true")
     ap.add_argument("--features", default="geometric",
@@ -131,61 +144,92 @@ def main(argv=None):
         s_state = restore_checkpoint(Path(args.student), s_state)
         student_params = s_state.params
     else:
-        # ---- 1. generate teacher couples -----------------------------------
+        # ---- 1+2 (xN rounds): couples from the current model, retrain ------
         @jax.jit
-        def teacher_generate(params, batch, key):
+        def model_generate(params, batch, key):
             x_1 = jax.random.normal(key, batch.points.shape, jnp.float32)
             o = sample(params, teacher_pipe, batch, key, x_1=x_1,
                        return_trajectory=False)
             return o["points"], x_1
 
-        couples = []  # (host PartBatch with points_gt := teacher x0, x_1)
-        t0 = time.time()
-        loader = BatchLoader(
-            [train_ds],
-            LoaderConfig(max_points_per_batch=args.batch_tokens,
-                         shuffle=True, prefetch=2),
-        )
-        done = False
-        for epoch in range(args.couple_epochs):
-            if done:
-                break
-            for b_idx, (batch, names, _) in enumerate(loader.epoch(epoch)):
-                key = jax.random.fold_in(jax.random.key(7), epoch * 100_000 + b_idx)
-                x0_t, x_1 = teacher_generate(teacher_params, batch, key)
-                couples.append(
-                    (jax.device_get(batch.replace(points_gt=x0_t)),
-                     jax.device_get(x_1))
-                )
-                if len(couples) >= args.max_couples:
-                    done = True
+        def gen_couples(params, seed):
+            """(host PartBatch with points_gt := model x0, x_1) couples."""
+            couples = []
+            t0 = time.time()
+            loader = BatchLoader(
+                [train_ds],
+                LoaderConfig(max_points_per_batch=args.batch_tokens,
+                             shuffle=True, prefetch=2, seed=seed),
+            )
+            done = False
+            for epoch in range(args.couple_epochs):
+                if done:
                     break
-        logger.info("generated %d couple batches in %.0fs",
-                    len(couples), time.time() - t0)
-        if not couples:
-            raise RuntimeError("no couples generated — empty train split?")
+                for b_idx, (batch, names, _) in enumerate(loader.epoch(epoch)):
+                    key = jax.random.fold_in(
+                        jax.random.key(seed), epoch * 100_000 + b_idx
+                    )
+                    x0_t, x_1 = model_generate(params, batch, key)
+                    couples.append(
+                        (jax.device_get(batch.replace(points_gt=x0_t)),
+                         jax.device_get(x_1))
+                    )
+                    if len(couples) >= args.max_couples:
+                        done = True
+                        break
+            logger.info("generated %d couple batches in %.0fs",
+                        len(couples), time.time() - t0)
+            if not couples:
+                raise RuntimeError("no couples generated — empty train split?")
+            return couples
 
-        # ---- 2. fine-tune on the straightened coupling ----------------------
-        step_fn = make_train_step(reflow_pipe, tx, remat=True, with_noise=True)
-        state = TrainState.create(teacher_params, tx, jax.random.key(3))
-        tracker = ExperimentTracker(out / "ckpts", config=None,
-                                    use_wandb=False, snapshot=False)
-        rng = np.random.default_rng(0)
-        total, t0 = 0, time.time()
-        while total < args.steps:
-            for i in rng.permutation(len(couples)):
-                b, x1 = couples[i]
-                state, metrics = step_fn(state, b, x1)
-                total += 1
-                if total % 100 == 0:
-                    tracker.log(total, metrics)
-                if total >= args.steps:
-                    break
-        jax.block_until_ready(state.params)
-        logger.info("distilled %d steps in %.0fs", total, time.time() - t0)
-        save_checkpoint(out / "ckpts" / "final", state, {"steps": total})
-        tracker.finish()
-        student_params = state.params
+        def retrain(params, couples, steps, pipe, tag, seed):
+            """Fine-tune ``params`` on the straight bridges of ``couples``."""
+            step_fn = make_train_step(pipe, tx, remat=True, with_noise=True)
+            state = TrainState.create(params, tx, jax.random.key(seed))
+            tracker = ExperimentTracker(out / "ckpts" / tag, config=None,
+                                        use_wandb=False, snapshot=False)
+            rng = np.random.default_rng(seed)
+            total, t0 = 0, time.time()
+            while total < steps:
+                for i in rng.permutation(len(couples)):
+                    b, x1 = couples[i]
+                    state, metrics = step_fn(state, b, x1)
+                    total += 1
+                    if total % 100 == 0:
+                        tracker.log(total, metrics)
+                    if total >= steps:
+                        break
+            jax.block_until_ready(state.params)
+            logger.info("[%s] distilled %d steps in %.0fs",
+                        tag, total, time.time() - t0)
+            tracker.finish()
+            return state.params
+
+        student_params = teacher_params
+        couples = None
+        for rnd in range(args.rounds):
+            couples = gen_couples(student_params, seed=7 + 1000 * rnd)
+            student_params = retrain(
+                student_params, couples, args.steps, reflow_pipe,
+                tag=f"round{rnd}", seed=3 + rnd,
+            )
+        if args.final_t_scheme:
+            # final stage: same couples, t restricted to the deployed
+            # few-step Euler query grid (core/flow.py euler<k> scheme)
+            final_pipe = RPFConfig(
+                model=model, inference_sampling_steps=args.teacher_steps,
+                rigidity_forcing=True,
+                timestep_sampling=args.final_t_scheme,
+            )
+            student_params = retrain(
+                student_params, couples, args.final_steps, final_pipe,
+                tag=f"final_{args.final_t_scheme}", seed=31,
+            )
+        state = TrainState.create(student_params, tx, jax.random.key(5))
+        save_checkpoint(out / "ckpts" / "final", state,
+                        {"steps": args.steps, "rounds": args.rounds,
+                         "final_t_scheme": args.final_t_scheme})
 
     # ---- 3. eval sweep: teacher vs student over step counts -----------------
     def parse_token(tok):
