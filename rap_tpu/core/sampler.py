@@ -76,13 +76,17 @@ def flow_sampler(
     return_trajectory: bool = True,
     method: str = "euler",
     schedule: str = "uniform",
+    ts: jnp.ndarray | None = None,
+    x_start: jax.Array | None = None,
 ) -> SampleResult:
     """Integrate the learned flow from noise ``x_1`` (t=1) to the scene (t=0).
 
     Args:
         velocity_fn: ``(x_t (G,N,3), t scalar) -> v (G,N,3)``; the model wrapper
             is responsible for broadcasting t to per-sample timesteps.
-        x_1: (G, N, 3) Gaussian noise.
+        x_1: (G, N, 3) Gaussian noise. Under rigidity forcing this is the
+            noise the re-interpolation blends with, even when the
+            integration starts elsewhere (``x_start``).
         condition: (G, N, 3) unposed input parts (used by rigidity forcing).
         point_mask: (G, N) validity mask.
         num_steps: static step count.
@@ -91,12 +95,19 @@ def flow_sampler(
             registers euler only); here all three integrate. rk steps cost
             2x/4x model evaluations per step. Anchor-free like euler (the
             reference rk anchor clamps belong to its disabled anchored mode).
+        ts: optional explicit timestep grid (overrides num_steps/schedule) —
+            lets a caller split one ODE into segments (e.g. the pruned
+            coarse-then-fine sampler in registration.sample) while keeping
+            the exact same query points as the unsplit grid.
+        x_start: optional integration start state at t = ts[0] (defaults to
+            ``x_1`` — the standard from-noise case at t=1).
     """
     if method not in ("euler", "rk2", "rk4"):
         raise ValueError(
             f"Unknown sampler: {method}. Available: ['euler', 'rk2', 'rk4']"
         )
-    ts = make_schedule(num_steps, schedule)
+    if ts is None:
+        ts = make_schedule(num_steps, schedule)
 
     def step(x_t, t_pair):
         t, t_next = t_pair
@@ -128,7 +139,8 @@ def flow_sampler(
         out = (x_0_hat, x_next) if return_trajectory else None
         return x_next, out
 
-    x_final, traj = jax.lax.scan(step, x_1, (ts[:-1], ts[1:]))
+    x0 = x_1 if x_start is None else x_start
+    x_final, traj = jax.lax.scan(step, x0, (ts[:-1], ts[1:]))
     if return_trajectory:
         end_point_traj, xt_traj = traj
         return SampleResult(x_final, end_point_traj, xt_traj)

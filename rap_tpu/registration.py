@@ -53,6 +53,21 @@ class RPFConfig:
     # the per-part rigid pose of x0_hat and penalizing its rotation/translation
     # error supervises exactly the quantity the evaluator scores. 0 = off.
     pose_loss_weight: float = 0.0
+    # TPU-side inference extension (no reference counterpart; the sampler is
+    # the only per-step cost, ref sampler.py:79-92): run the first
+    # ``prune_coarse_steps`` ODE steps on a 1/prune_factor random subsample
+    # of every part, reconstruct the full-resolution state EXACTLY at the
+    # switch, and finish full-res. Exactness: under rigidity forcing the
+    # state is x_t = (1-t)·(R_g·cond_g + t_g) + t·x_1 — fully determined by
+    # per-part poses (recovered from the subset by Kabsch, exact on a
+    # rigid-by-construction cloud) plus the stored noise; only the velocity
+    # QUERIES are approximated on the subset. The field at t→1 is
+    # low-frequency (docs/synthetic_training.md t-binned loss analysis),
+    # which is why coarse early queries lose little. Attention cost is
+    # quadratic in tokens, so each pruned step costs ~1/factor² of a full
+    # step. Requires rigidity_forcing. 0 = off.
+    prune_coarse_steps: int = 0
+    prune_factor: int = 4
 
 
 def parts_per_sample(batch: PartBatch) -> int:
@@ -175,17 +190,71 @@ def sample(
     # ring_mesh: sequence-sharded global attention for S==1 ultra-long
     # samples (multi-chip map merging; models/dit.py _attention_block)
     vfn = velocity_fn(params, cfg, batch, ring_mesh=ring_mesh)
-    res: SampleResult = flow_sampler(
-        vfn,
-        x_1=x_1,
-        condition=batch.points,
-        point_mask=batch.point_mask,
-        num_steps=steps,
-        rigidity_forcing=cfg.rigidity_forcing,
-        return_trajectory=return_trajectory,
-        method=cfg.inference_sampler,
-        schedule=schedule or cfg.inference_schedule,
-    )
+    coarse = min(cfg.prune_coarse_steps, steps - 1)
+    if coarse > 0 and cfg.rigidity_forcing and not return_trajectory:
+        # ---- pruned coarse-then-fine sampling (see RPFConfig docstring) ----
+        from .core.sampler import make_schedule
+
+        ts = make_schedule(steps, schedule or cfg.inference_schedule)
+        N = batch.points.shape[1]
+        n_sub = max(-(-N // cfg.prune_factor) // 128 * 128, 128)
+        n_sub = min(n_sub, N)
+        # random subsample (sorted for contiguous-ish gathers); one shared
+        # index set across parts keeps the gather a single static take
+        idx = jnp.sort(
+            jax.random.permutation(jax.random.fold_in(rng, 0x5B5), N)[:n_sub]
+        )
+        sub = batch.replace(
+            points=batch.points[:, idx],
+            points_gt=batch.points_gt[:, idx],
+            local_feats=batch.local_feats[:, idx],
+            point_mask=batch.point_mask[:, idx],
+        )
+        vfn_sub = velocity_fn(params, cfg, sub, ring_mesh=ring_mesh)
+        x_1_sub = x_1[:, idx]
+        res1 = flow_sampler(
+            vfn_sub,
+            x_1=x_1_sub,
+            condition=sub.points,
+            point_mask=sub.point_mask,
+            rigidity_forcing=True,
+            return_trajectory=False,
+            method=cfg.inference_sampler,
+            ts=ts[: coarse + 1],
+        )
+        # reconstruct the full-res state at t_s exactly: invert the forcing
+        # blend to the rigid endpoint, Kabsch the per-part pose (exact — the
+        # cloud is rigid by construction), re-apply at full resolution
+        t_s = ts[coarse]
+        x0_rigid_sub = (res1.x_final - t_s * x_1_sub) / (1.0 - t_s)
+        R, tr = procrustes.fit_transformations(
+            sub.points, x0_rigid_sub, sub.point_mask
+        )
+        x0_full = procrustes.transform_points(R, tr, batch.points)
+        x_switch = (1.0 - t_s) * x0_full + t_s * x_1
+        res = flow_sampler(
+            vfn,
+            x_1=x_1,
+            x_start=x_switch,
+            condition=batch.points,
+            point_mask=batch.point_mask,
+            rigidity_forcing=True,
+            return_trajectory=False,
+            method=cfg.inference_sampler,
+            ts=ts[coarse:],
+        )
+    else:
+        res = flow_sampler(
+            vfn,
+            x_1=x_1,
+            condition=batch.points,
+            point_mask=batch.point_mask,
+            num_steps=steps,
+            rigidity_forcing=cfg.rigidity_forcing,
+            return_trajectory=return_trajectory,
+            method=cfg.inference_sampler,
+            schedule=schedule or cfg.inference_schedule,
+        )
     out: dict[str, Any] = {"points": res.x_final}
     if return_trajectory:
         out["end_point_trajectory"] = res.end_point_trajectory
