@@ -41,7 +41,20 @@ POINTS_PER_PART = 4096
 # scripts/reflow_distill.py) — only quote those numbers next to the matched
 # -recall evidence in docs/synthetic_training.md.
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
-TFLOP_PER_PAIR = 41.0 * STEPS / 10  # analytic: (24.7 attn + 16.5 proj/FF) @10
+# BENCH_PRUNE="k:f" runs the first k ODE steps on a 1/f token subsample with
+# an exact full-res switch (registration.RPFConfig.prune_coarse_steps); same
+# matched-recall caveat as BENCH_STEPS.
+_PRUNE = os.environ.get("BENCH_PRUNE", "0:4").split(":")
+PRUNE_STEPS, PRUNE_FACTOR = int(_PRUNE[0]), int(_PRUNE[1])
+# analytic per-pair work: @10 steps, 24.7 TFLOP attention (quadratic in
+# tokens) + 16.5 projections/FF (linear in tokens)
+_ATTN, _LIN = 24.7 / 10, 16.5 / 10
+_full_steps = STEPS - min(PRUNE_STEPS, STEPS - 1)
+_coarse = min(PRUNE_STEPS, STEPS - 1)
+TFLOP_PER_PAIR = (
+    _full_steps * (_ATTN + _LIN)
+    + _coarse * (_ATTN / PRUNE_FACTOR**2 + _LIN / PRUNE_FACTOR)
+)
 
 
 def log(*a):
@@ -63,6 +76,8 @@ def main():
         model=DiTConfig(num_layers=12),
         inference_sampling_steps=STEPS,
         rigidity_forcing=True,
+        prune_coarse_steps=PRUNE_STEPS,
+        prune_factor=PRUNE_FACTOR,
     )
     # mesh-aware: on n devices the batch carries n x PAIRS pairs, sharded on
     # the leading sample/part axis (params replicate); reported value stays

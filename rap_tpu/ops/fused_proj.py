@@ -181,6 +181,207 @@ def xla_reference(x, ada, w, gq_eff, gk_eff, P, is_global):
     return to_p(q), to_p(k), to_p(va)
 
 
+def _proj_bwd_kernel(
+    x_ref, sc_ref, sh_ref, w_ref, gq_ref, gk_ref, dq_ref, dk_ref, dva_ref,
+    dx_ref, dsc_ref, dsh_ref, dw_ref, dgq_ref, dgk_ref,
+    *, H: int, dh: int, D: int, is_global: bool,
+    eps: float = 1e-5,
+):
+    """Fused backward: recompute the forward in-register per token block,
+    fold the head-major -> token-major cotangent relayout into the DMA reads
+    (the inverse of the forward's write loop — the XLA vjp pays these as
+    standalone HBM transpose copies), run the rms-norm and AdaLN/LN vjps on
+    the block, and accumulate all weight/gain/ada gradients in their OUTPUT
+    refs across the sequential grid (constant / per-part index maps keep
+    those blocks VMEM-resident until their last visit — the fused_ff.py bwd
+    pattern). 3 full-width matmuls per block (y recompute, dW, dh) + 4 tiny
+    (D, H) selector matmuls for the per-head reductions.
+    """
+    g = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init_part():
+        dsc_ref[...] = jnp.zeros_like(dsc_ref)
+        dsh_ref[...] = jnp.zeros_like(dsh_ref)
+
+    @pl.when((g == 0) & (i == 0))
+    def _init_shared():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        dgq_ref[...] = jnp.zeros_like(dgq_ref)
+        dgk_ref[...] = jnp.zeros_like(dgk_ref)
+
+    x = x_ref[0]                                    # (bt, D)
+    sc = sc_ref[0].astype(jnp.float32)              # (1, D)
+    sh = sh_ref[0].astype(jnp.float32)
+    gq = gq_ref[0]                                  # (1, D) fp32
+    gk = gk_ref[0]
+    dt = x.dtype
+
+    # ---- recompute the forward intermediates (exact fwd-kernel math) ----
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (xf - mu) * rstd
+    h = (xhat * (1.0 + sc) + sh).astype(dt)
+    y = jax.lax.dot_general(
+        h, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bt, 3D)
+    qsec = y[:, :D]
+    ksec = y[:, D:2 * D]
+    bt = y.shape[0]
+
+    jj = jax.lax.broadcasted_iota(jnp.int32, (D, H), 0)
+    hh = jax.lax.broadcasted_iota(jnp.int32, (D, H), 1)
+    sel = (jj // dh == hh).astype(jnp.float32)      # (D, H)
+    qk = jnp.concatenate([qsec, ksec], axis=0)      # (2bt, D)
+    ss = jax.lax.dot_general(
+        qk * qk, sel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                               # (2bt, H)
+    r = jax.lax.rsqrt(ss + 1e-12)
+
+    # ---- relayout cotangents head-major -> token-major in-register ------
+    if is_global:
+        dq_tok = jnp.concatenate([dq_ref[0, hx, 0] for hx in range(H)], -1)
+        dk_tok = jnp.concatenate([dk_ref[0, hx, 0] for hx in range(H)], -1)
+        dv_tok = jnp.concatenate(
+            [dva_ref[0, hx, 0][:, :dh] for hx in range(H)], -1
+        )
+    else:
+        dq_tok = jnp.concatenate([dq_ref[0, hx] for hx in range(H)], -1)
+        dk_tok = jnp.concatenate([dk_ref[0, hx] for hx in range(H)], -1)
+        dv_tok = jnp.concatenate(
+            [dva_ref[0, hx][:, :dh] for hx in range(H)], -1
+        )
+    dq_tok = dq_tok.astype(jnp.float32)             # (bt, D)
+    dk_tok = dk_tok.astype(jnp.float32)
+    dqg = jnp.concatenate([dq_tok * gq, dk_tok * gk], axis=0)  # (2bt, D)
+
+    # ---- rms-norm vjp (per head, selector-matmul broadcasts) ------------
+    # out = sec·r·γ ;  dsec = r·(γ·dout) - sec · r³ · Σ_head(γ·dout·sec)
+    s = jax.lax.dot_general(
+        dqg * qk, sel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                               # (2bt, H)
+    c = s * r * r * r                               # narrow (2bt, H)
+    cfull = jax.lax.dot_general(
+        c, sel, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                               # (2bt, D)
+    rfull = jax.lax.dot_general(
+        r, sel, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dsec = rfull * dqg - qk * cfull                 # (2bt, D)
+
+    # dγ_eff += Σ_tokens dout · sec · r  (token-major; reshaped (H, dh)
+    # outside)
+    dg2 = jnp.concatenate([dq_tok, dk_tok], axis=0) * qk * rfull
+    dgq_ref[...] += jnp.sum(dg2[:bt], axis=0, keepdims=True)
+    dgk_ref[...] += jnp.sum(dg2[bt:], axis=0, keepdims=True)
+
+    dy = jnp.concatenate(
+        [dsec[:bt], dsec[bt:], dv_tok], axis=-1
+    ).astype(dt)                                    # (bt, 3D)
+
+    # ---- projection vjp ---------------------------------------------------
+    dw_ref[...] += jax.lax.dot_general(
+        h, dy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dhid = jax.lax.dot_general(
+        dy, w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                               # (bt, D)
+
+    # ---- AdaLN + LN vjp ----------------------------------------------------
+    dsc_ref[...] += jnp.sum(dhid * xhat, axis=0, keepdims=True)[None]
+    dsh_ref[...] += jnp.sum(dhid, axis=0, keepdims=True)[None]
+    dxhat = dhid * (1.0 + sc)
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ref[0] = (rstd * (dxhat - m1 - xhat * m2)).astype(dt)
+
+
+def _bwd_kernel_call(x, ada, w, gq_eff, gk_eff, g, P, block, is_global,
+                     interpret):
+    G, N, D = x.shape
+    H, dh = gq_eff.shape
+    S = G // P
+    dt = x.dtype
+    dq, dk, dva = g
+    if is_global:
+        qk_spec = pl.BlockSpec(
+            (1, H, 1, block, dh), lambda g_, i: (g_ // P, 0, g_ % P, i, 0)
+        )
+        va_spec = pl.BlockSpec(
+            (1, H, 1, block, dh + 1), lambda g_, i: (g_ // P, 0, g_ % P, i, 0)
+        )
+    else:
+        qk_spec = pl.BlockSpec((1, H, block, dh), lambda g_, i: (g_, 0, i, 0))
+        va_spec = pl.BlockSpec(
+            (1, H, block, dh + 1), lambda g_, i: (g_, 0, i, 0)
+        )
+    const = lambda *dims: pl.BlockSpec(dims, lambda g_, i: (0,) * len(dims))  # noqa: E731
+    # keep layer-stack dynamic-slice fusions out of the kCustom fusion (same
+    # scoped-VMEM overflow hazard as fused_ff.py's backward)
+    x, ada, w, gq_eff, gk_eff, dq, dk, dva = jax.lax.optimization_barrier(
+        (x, ada, w, gq_eff, gk_eff, dq, dk, dva)
+    )
+    outs = pl.pallas_call(
+        functools.partial(
+            _proj_bwd_kernel, H=H, dh=dh, D=D, is_global=is_global,
+        ),
+        grid=(G, N // block),
+        in_specs=[
+            pl.BlockSpec((1, block, D), lambda g_, i: (g_, i, 0)),   # x
+            pl.BlockSpec((1, 1, D), lambda g_, i: (g_, 0, 0)),       # sc
+            pl.BlockSpec((1, 1, D), lambda g_, i: (g_, 0, 0)),       # sh
+            const(D, 3 * D),                                         # w
+            const(1, D), const(1, D),                                # gq, gk
+            qk_spec, qk_spec, va_spec,                               # dq dk dva
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block, D), lambda g_, i: (g_, i, 0)),   # dx
+            pl.BlockSpec((1, 1, D), lambda g_, i: (g_, 0, 0)),       # dsc
+            pl.BlockSpec((1, 1, D), lambda g_, i: (g_, 0, 0)),       # dsh
+            const(D, 3 * D), const(1, D), const(1, D),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, N, D), dt),
+            jax.ShapeDtypeStruct((G, 1, D), jnp.float32),
+            jax.ShapeDtypeStruct((G, 1, D), jnp.float32),
+            jax.ShapeDtypeStruct((D, 3 * D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2**20,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        x,
+        ada[:, None, :D].astype(jnp.float32),
+        ada[:, None, D:].astype(jnp.float32),
+        w.astype(dt),
+        gq_eff.astype(jnp.float32).reshape(1, D),
+        gk_eff.astype(jnp.float32).reshape(1, D),
+        dq, dk, dva,
+    )
+    dx, dsc, dsh, dw, dgq, dgk = jax.lax.optimization_barrier(outs)
+    dada = jnp.concatenate([dsc[:, 0], dsh[:, 0]], axis=-1).astype(ada.dtype)
+    return (
+        dx,
+        dada,
+        dw.astype(w.dtype),
+        dgq.reshape(H, dh).astype(gq_eff.dtype),
+        dgk.reshape(H, dh).astype(gk_eff.dtype),
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _fused(x, ada, w, gq_eff, gk_eff, P, block, is_global, interpret):
     return _kernel_call(x, ada, w, gq_eff, gk_eff, P, block, is_global, interpret)
@@ -192,6 +393,17 @@ def _fused_fwd(x, ada, w, gq_eff, gk_eff, P, block, is_global, interpret):
 
 
 def _fused_bwd(P, block, is_global, interpret, res, g):
+    x, ada, w, gq_eff, gk_eff = res
+    G, N, D = x.shape
+    # fused backward kernel for Mosaic-legal shapes; XLA-composition vjp
+    # (exact same math) otherwise. Smaller blocks than the forward: the bwd
+    # holds ~6 (block, 3D) fp32 temporaries plus the resident (D, 3D)
+    # weight-grad accumulator.
+    bblock = next((b for b in (256, 128) if N % b == 0), None)
+    if bblock and D % 128 == 0:
+        return _bwd_kernel_call(
+            x, ada, w, gq_eff, gk_eff, g, P, bblock, is_global, interpret
+        )
     _, vjp = jax.vjp(
         lambda *a: xla_reference(*a, P=P, is_global=is_global), *res
     )

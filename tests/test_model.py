@@ -730,6 +730,49 @@ class TestFusedProjPath:
                     err_msg=f"{name} is_global={is_global}",
                 )
 
+    def test_adaln_qkv_bwd_kernel_grad_parity(self):
+        """The fused Pallas backward (in-register recompute + in-ref grad
+        accumulation + relayout folded into DMA reads) vs the XLA-composition
+        vjp — every input grad, both layout variants."""
+        from rap_tpu.ops import fused_proj as fp
+
+        G, N, D, H, dh = 4, 256, 128, 2, 64
+        ks = jax.random.split(jax.random.key(7), 6)
+        x = jax.random.normal(ks[0], (G, N, D))
+        ada = 0.1 * jax.random.normal(ks[1], (G, 2 * D))
+        w = jax.random.normal(ks[2], (D, 3 * D)) * 0.05
+        gq = 1.0 + 0.1 * jax.random.normal(ks[3], (H, dh))
+        gk = 1.0 + 0.1 * jax.random.normal(ks[4], (H, dh))
+
+        for is_global in (False, True):
+            # non-trivial cotangents on every output
+            outs_ref = fp.xla_reference(x, ada, w, gq, gk, 2, is_global)
+            cots = tuple(
+                jax.random.normal(jax.random.fold_in(ks[5], i), o.shape)
+                for i, o in enumerate(outs_ref)
+            )
+
+            def loss_kernel(x, ada, w, gq, gk):
+                q, k, va = fp._fused(x, ada, w, gq, gk, 2, 128, is_global,
+                                     True)
+                return sum(jnp.sum(o * c) for o, c in zip((q, k, va), cots))
+
+            def loss_ref(x, ada, w, gq, gk):
+                q, k, va = fp.xla_reference(x, ada, w, gq, gk, 2, is_global)
+                return sum(jnp.sum(o * c) for o, c in zip((q, k, va), cots))
+
+            gkern = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4))(
+                x, ada, w, gq, gk
+            )
+            gref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+                x, ada, w, gq, gk
+            )
+            for a, b, name in zip(gkern, gref, ("x", "ada", "w", "gq", "gk")):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=5e-4, rtol=2e-3,
+                    err_msg=f"d{name} (is_global={is_global})",
+                )
+
     def test_dit_fused_path_matches_masked(self):
         full = self._dense_batch()
         params = init_dit_params(jax.random.key(0), self.CFG)
