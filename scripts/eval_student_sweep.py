@@ -76,13 +76,27 @@ def main(argv=None):
     pipe = RPFConfig(model=model, rigidity_forcing=True)
     summary: dict = {"ckpt": args.ckpt, "split": args.split}
     for tok in args.sweep.split(","):
-        k = int(tok)
+        # token: "<k>" or "<k>p<c>x<f>" — k ODE steps with the first c on a
+        # 1/f token subsample (registration.RPFConfig.prune_coarse_steps)
+        import dataclasses as _dc
+        import re as _re
+
+        m = _re.fullmatch(r"(\d+)(?:p(\d+)x(\d+))?", tok)
+        if not m:
+            raise ValueError(f"bad sweep token {tok!r} (want k or kpcxf)")
+        k = int(m.group(1))
+        tok_pipe = pipe
+        if m.group(2):
+            tok_pipe = _dc.replace(
+                pipe, prune_coarse_steps=int(m.group(2)),
+                prune_factor=int(m.group(3)),
+            )
         t0 = time.time()
         res = evaluate_split(
-            params, pipe, ds, batch_tokens=args.batch_tokens,
-            num_steps=k, tag=f"student@{k}steps",
+            params, tok_pipe, ds, batch_tokens=args.batch_tokens,
+            num_steps=k, tag=f"student@{tok}steps",
         )
-        summary[f"student@{k}steps"] = res
+        summary[f"student@{tok}steps"] = res
         log(f"@{k} steps ({time.time() - t0:.0f}s): "
             + ", ".join(f"{m}={res[m]:.3f}" for m in (
                 "average_rotation_error (deg)",
