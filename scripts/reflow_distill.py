@@ -86,6 +86,10 @@ def main(argv=None):
     ap.add_argument("--student", default="",
                     help="eval-only: checkpoint dir of an already-distilled "
                          "student (skips couple generation + training)")
+    ap.add_argument("--export-npz", default="",
+                    help="also export the final student params as a "
+                         "save_params_npz file (bf16 distribution format, "
+                         "e.g. demo_data/ckpts/reflow_student.npz)")
     args = ap.parse_args(argv)
 
     # Remote-TPU tunnel: first device op on the MAIN thread before any
@@ -230,6 +234,13 @@ def main(argv=None):
         save_checkpoint(out / "ckpts" / "final", state,
                         {"steps": args.steps, "rounds": args.rounds,
                          "final_t_scheme": args.final_t_scheme})
+
+    if args.export_npz:
+        from rap_tpu.train.checkpoint import save_params_npz
+
+        Path(args.export_npz).parent.mkdir(parents=True, exist_ok=True)
+        save_params_npz(args.export_npz, student_params)
+        logger.info("exported student npz to %s", args.export_npz)
 
     # ---- 3. eval sweep: teacher vs student over step counts -----------------
     def parse_token(tok):
