@@ -18,9 +18,11 @@ case $phase in
       --export-npz demo_data/ckpts/reflow_student.npz
     ;;
   sweep)
-    # validates the committed bf16 npz artifact; adds the pruned protocol
+    # validates the committed bf16 npz artifact on 301 FRESH held-out scenes
+    # (seed 777, same generation params — round-2 protocol); adds the pruned
+    # protocol token
     timeout 3600 python -u scripts/eval_student_sweep.py \
-      --ckpt demo_data/ckpts/reflow_student.npz --data-root runs/teacher3/data \
+      --ckpt demo_data/ckpts/reflow_student.npz --data-root runs/sweep_val300 \
       --sweep 1,2,4,10,10p5x4 --out docs/data/student_sweep_r3.json
     ;;
   kernels)
