@@ -83,6 +83,9 @@ def main(argv=None):
                     help="comma list of step counts; a token may carry a "
                          "schedule suffix, e.g. 4:power:0.5 (fine near t=1)")
     ap.add_argument("--eval-splits", default="val")
+    ap.add_argument("--eval-limit", type=int, default=0,
+                    help="cap val-split evals to N strided scenes "
+                         "(DatasetConfig.limit_val_samples; 0 = all)")
     ap.add_argument("--student", default="",
                     help="eval-only: checkpoint dir of an already-distilled "
                          "student (skips couple generation + training)")
@@ -126,7 +129,8 @@ def main(argv=None):
 
     ds_kw = dict(data_path=args.data_root, dataset_name="synth",
                  load_features=args.features != "zero",
-                 yaw_augmentation=args.yaw_aug)
+                 yaw_augmentation=args.yaw_aug,
+                 limit_val_samples=args.eval_limit)
     train_ds = PointCloudDataset(DatasetConfig(split="train", **ds_kw))
     val_ds = PointCloudDataset(DatasetConfig(split="val", **ds_kw))
     logger.info("train %d samples, val %d", len(train_ds), len(val_ds))

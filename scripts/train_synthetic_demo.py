@@ -98,6 +98,10 @@ def main(argv=None):
                          "diagnostic, docs/synthetic_training.md)")
     ap.add_argument("--eval-steps", type=int, default=10,
                     help="ODE steps at eval")
+    ap.add_argument("--eval-limit", type=int, default=0,
+                    help="cap val-split evals to N strided scenes "
+                         "(DatasetConfig.limit_val_samples; 0 = all). Keeps "
+                         "the 4-protocol eval tractable at 12k-scene scale")
     ap.add_argument("--eval-schedule", default="uniform",
                     help="ODE timestep grid at eval: uniform | cosine | "
                          "power:<k> (core/sampler.make_schedule)")
@@ -199,7 +203,8 @@ def main(argv=None):
     )
     ds_kw = dict(data_path=str(data_root), dataset_name="synth",
                  load_features=args.features != "zero",
-                 yaw_augmentation=args.yaw_aug)
+                 yaw_augmentation=args.yaw_aug,
+                 limit_val_samples=args.eval_limit)
     train_ds = PointCloudDataset(DatasetConfig(split="train", **ds_kw))
     val_ds = PointCloudDataset(DatasetConfig(split="val", **ds_kw))
     logger.info("train %d samples, val %d", len(train_ds), len(val_ds))
