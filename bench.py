@@ -41,14 +41,22 @@ POINTS_PER_PART = 4096
 # scripts/reflow_distill.py) — only quote those numbers next to the matched
 # -recall evidence in docs/synthetic_training.md.
 STEPS = int(os.environ.get("BENCH_STEPS", "10"))
+# BENCH_LAYERS + BENCH_CKPT bench a specific committed model instead of the
+# randomly-initialized rap_12 — so the (model, steps, pairs/s) throughput row
+# and the recall row (eval_student_sweep.py on the same npz) are measured on
+# ONE coherent model. Timing is weight-independent; loading the npz makes the
+# claim auditable, not faster.
+LAYERS = int(os.environ.get("BENCH_LAYERS", "12"))
+CKPT = os.environ.get("BENCH_CKPT", "")
 # BENCH_PRUNE="k:f" runs the first k ODE steps on a 1/f token subsample with
 # an exact full-res switch (registration.RPFConfig.prune_coarse_steps); same
 # matched-recall caveat as BENCH_STEPS.
 _PRUNE = os.environ.get("BENCH_PRUNE", "0:4").split(":")
 PRUNE_STEPS, PRUNE_FACTOR = int(_PRUNE[0]), int(_PRUNE[1])
-# analytic per-pair work: @10 steps, 24.7 TFLOP attention (quadratic in
-# tokens) + 16.5 projections/FF (linear in tokens)
-_ATTN, _LIN = 24.7 / 10, 16.5 / 10
+# analytic per-pair work: @10 steps and 12 layers, 24.7 TFLOP attention
+# (quadratic in tokens) + 16.5 projections/FF (linear in tokens); both scale
+# linearly in layer count
+_ATTN, _LIN = 24.7 / 10 * LAYERS / 12, 16.5 / 10 * LAYERS / 12
 _full_steps = STEPS - min(PRUNE_STEPS, STEPS - 1)
 _coarse = min(PRUNE_STEPS, STEPS - 1)
 TFLOP_PER_PAIR = (
@@ -73,12 +81,14 @@ def main():
     log(f"device: {dev.device_kind}, platform {dev.platform}, n={n_dev}")
 
     cfg = RPFConfig(
-        model=DiTConfig(num_layers=12),
+        model=DiTConfig(num_layers=LAYERS),
         inference_sampling_steps=STEPS,
         rigidity_forcing=True,
         prune_coarse_steps=PRUNE_STEPS,
         prune_factor=PRUNE_FACTOR,
     )
+    if CKPT:
+        log(f"benching committed checkpoint {CKPT} ({LAYERS} layers)")
     # mesh-aware: on n devices the batch carries n x PAIRS pairs, sharded on
     # the leading sample/part axis (params replicate); reported value stays
     # per-chip so the metric is invariant to fleet size
@@ -92,6 +102,10 @@ def main():
         feat_dim=cfg.model.local_feat_dim,
     )
     params = init_dit_params(jax.random.key(1), cfg.model)
+    if CKPT:
+        from rap_tpu.train.checkpoint import load_params_npz
+
+        params = load_params_npz(CKPT, params)
     if n_dev > 1:
         from rap_tpu.parallel.mesh import (
             make_mesh, replicate_sharding, shard_batch,

@@ -37,22 +37,70 @@ import numpy as np
 # --------------------------------------------------------------------------
 
 def save_checkpoint(path: str | Path, state, metadata: dict | None = None) -> None:
-    """Save a TrainState (or any pytree) with orbax.
+    """Save a TrainState (or any pytree) with orbax, kill-safely.
+
+    The restart wrapper (scripts/run_with_restarts.sh) SIGTERM/SIGKILLs the
+    trainer at arbitrary times (RSS-leak mitigation, stall recovery); a naive
+    ``save(path, force=True)`` deletes the existing ``path`` before the new
+    save commits, so a kill in that window destroys the only resume point.
+    Instead: save to ``<path>.new``, then swap via renames — at every instant
+    at least one complete checkpoint exists among {path, path.new, path.old},
+    and :func:`resolve_checkpoint_dir` (used by every restore site) picks the
+    newest complete one.
 
     Multi-host: call from EVERY process (orbax save is a collective — each
-    process writes its addressable shards); the metadata sidecar is written
-    by process 0 only.
+    process writes its addressable shards); the directory swap and the
+    metadata sidecar happen on process 0 only, with barriers around the swap.
     """
+    import shutil
+
     import jax
     import orbax.checkpoint as ocp
 
     path = Path(path).absolute()
+    tmp = path.with_name(path.name + ".new")
+    old = path.with_name(path.name + ".old")
+    if jax.process_index() == 0:
+        shutil.rmtree(tmp, ignore_errors=True)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, state, force=True)
-    if metadata and jax.process_index() == 0:
+        ckptr.save(tmp, state, force=True)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("rap_ckpt_saved")
+    if jax.process_index() == 0:
         import json
 
-        (path / "rap_metadata.json").write_text(json.dumps(metadata, indent=2))
+        if metadata:
+            (tmp / "rap_metadata.json").write_text(json.dumps(metadata, indent=2))
+        shutil.rmtree(old, ignore_errors=True)
+        if path.exists():
+            path.rename(old)
+        tmp.rename(path)
+        shutil.rmtree(old, ignore_errors=True)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("rap_ckpt_swapped")
+
+
+def resolve_checkpoint_dir(path: str | Path) -> Path:
+    """Pick the newest complete checkpoint among ``path``/``path.new``/
+    ``path.old`` (the kill-safe save states of :func:`save_checkpoint`).
+    Completeness marker: orbax's commit file, falling back to the metadata
+    sidecar for checkpoints written by older code."""
+
+    def complete(p: Path) -> bool:
+        return p.is_dir() and (
+            any(p.glob("*commit_success*")) or (p / "rap_metadata.json").exists()
+        )
+
+    path = Path(path).absolute()
+    for cand in (path, path.with_name(path.name + ".new"),
+                 path.with_name(path.name + ".old")):
+        if complete(cand):
+            return cand
+    return path
 
 
 def save_params_npz(path: str | Path, params, dtype=jnp.bfloat16) -> None:
@@ -104,10 +152,11 @@ def load_params_npz(path: str | Path, target=None):
 
 
 def restore_checkpoint(path: str | Path, target):
-    """Restore into the structure of `target` (a matching pytree)."""
+    """Restore into the structure of `target` (a matching pytree). Resolves
+    kill-interrupted saves (see save_checkpoint) to the newest complete dir."""
     import orbax.checkpoint as ocp
 
-    path = Path(path).absolute()
+    path = resolve_checkpoint_dir(path)
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(path, target)
 
@@ -115,7 +164,7 @@ def restore_checkpoint(path: str | Path, target):
 def load_metadata(path: str | Path) -> dict:
     import json
 
-    f = Path(path) / "rap_metadata.json"
+    f = resolve_checkpoint_dir(path) / "rap_metadata.json"
     return json.loads(f.read_text()) if f.exists() else {}
 
 

@@ -38,9 +38,18 @@ def main(argv=None):
     from rap_tpu.models import DiTConfig
     from rap_tpu.models.dit import init_dit_params
     from rap_tpu.train import OptimizerConfig, TrainState, build_optimizer
-    from rap_tpu.train.checkpoint import restore_checkpoint, save_params_npz
+    from rap_tpu.train.checkpoint import (
+        resolve_checkpoint_dir, restore_checkpoint, save_params_npz,
+    )
 
-    ckpt = Path(args.ckpt) if args.ckpt else Path(args.run) / "ckpts" / "last"
+    # Resolve ONCE and use the same frozen dir for metadata + restore, so the
+    # sidecar step label cannot mismatch the exported params when the trainer
+    # swaps in a new checkpoint mid-snapshot. The swap is rename-based
+    # (checkpoint.save_checkpoint), so a resolved dir either stays intact or
+    # is renamed whole to <name>.old — never mutated in place.
+    ckpt = resolve_checkpoint_dir(
+        Path(args.ckpt) if args.ckpt else Path(args.run) / "ckpts" / "last"
+    )
     meta_file = ckpt / "rap_metadata.json"
     if not meta_file.exists():
         print(f"no checkpoint at {ckpt}; nothing to snapshot")
@@ -51,7 +60,11 @@ def main(argv=None):
     params = init_dit_params(jax.random.key(0), model)
     tx = build_optimizer(OptimizerConfig(name="muon", lr=3e-4, grad_clip=0.5))
     state = TrainState.create(params, tx, jax.random.key(1))
-    state = restore_checkpoint(ckpt, state)
+    try:
+        state = restore_checkpoint(ckpt, state)
+    except Exception as e:  # dir swapped away mid-restore: skip, retry later
+        print(f"restore failed ({e}); skipping this snapshot")
+        return 1
 
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)

@@ -232,7 +232,10 @@ def main(argv=None):
     if not args.eval_only:
         total = 0
         last_dir = out / "ckpts" / "last"
-        if args.resume and (last_dir / "rap_metadata.json").exists():
+        from rap_tpu.train.checkpoint import resolve_checkpoint_dir
+        if args.resume and (
+            resolve_checkpoint_dir(last_dir) / "rap_metadata.json"
+        ).exists():
             state = restore_checkpoint(last_dir, state)
             total = int(np.asarray(state.step))
             logger.info("resumed at step %d", total)
