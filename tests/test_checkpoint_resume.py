@@ -66,6 +66,50 @@ def test_resume_is_invisible(tmp_path):
     np.testing.assert_allclose(losses_resumed, losses_ref[3:], rtol=1e-6)
 
 
+def test_kill_safe_save_swap(tmp_path):
+    """save_checkpoint swaps complete checkpoints by rename: a SIGKILL at any
+    instant (the restart wrapper kills the trainer for RSS/stall mitigation,
+    scripts/run_with_restarts.sh) must leave a restorable resume point. Each
+    scenario below is a reachable kill state of the swap sequence."""
+    from rap_tpu.train.checkpoint import resolve_checkpoint_dir
+
+    state, step, batch, tx = _setup()
+    # a never-stepped twin as the restore target: the train step donates its
+    # input state's buffers (CLAUDE.md), so `state` itself is unusable after
+    target, *_ = _setup()
+    last = tmp_path / "last"
+    save_checkpoint(last, state, {"steps": 1})
+    s2, _ = step(state, batch)
+    save_checkpoint(last, s2, {"steps": 2})  # overwrite path exercises swap
+    assert load_metadata(last)["steps"] == 2
+    assert not (tmp_path / "last.new").exists()
+    assert not (tmp_path / "last.old").exists()
+
+    # kill between "path -> old" and "tmp -> path": only .new + .old exist
+    (tmp_path / "last").rename(tmp_path / "last.new")
+    save_dir = resolve_checkpoint_dir(last)
+    assert save_dir.name == "last.new"
+    assert load_metadata(last)["steps"] == 2
+    restored = restore_checkpoint(last, target)
+    assert int(restored.step) == 1
+
+    # kill during the .new save itself (incomplete tmp): path still wins
+    (tmp_path / "last.new").rename(last)
+    (tmp_path / "last.new").mkdir()  # empty = incomplete (no commit marker)
+    assert resolve_checkpoint_dir(last).name == "last"
+    assert load_metadata(last)["steps"] == 2
+
+    # kill after "path -> old", tmp incomplete: fall back to .old
+    import shutil
+
+    shutil.rmtree(tmp_path / "last.new")
+    last.rename(tmp_path / "last.old")
+    assert resolve_checkpoint_dir(last).name == "last.old"
+    assert load_metadata(last)["steps"] == 2
+    restored = restore_checkpoint(last, target)
+    assert int(restored.step) == 1
+
+
 def test_params_npz_roundtrip(tmp_path):
     """save_params_npz/load_params_npz: bf16 export reloads into the params
     structure within bf16 precision; missing/mismatched keys fail loudly."""
