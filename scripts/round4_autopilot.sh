@@ -138,13 +138,12 @@ ARM_GEN=3600; ARM_TRAIN=9000
 if [ "$(left)" -gt $((ARM_GEN + ARM_TRAIN + T_FINAL + 1800)) ]; then
   log "spinnet A/B arm: datagen (remaining $(left)s)"
   # datagen (incl. on-TPU MiniSpinNet sidecar extraction) bounded separately
-  # so a slow descriptor pass cannot eat the whole arm budget; --steps 1
-  # stops right after generation+1 step, then the real run reuses the data.
+  # so a slow descriptor pass cannot eat the whole arm budget; the sidecar
+  # pass is resumable (skips existing .npy), so a timeout only defers work.
   timeout $ARM_GEN python -u scripts/train_synthetic_demo.py \
-    --steps 1 --scenes 6000 --out runs/ab_spinnet \
+    --gen-only --scenes 6000 --out runs/ab_spinnet \
     --features spinnet --yaw-aug --t-scheme late_heavy \
-    --pose-loss-weight 0.1 --eval-splits val --eval-limit 1 \
-    >> "$run/autopilot4.log" 2>&1
+    --pose-loss-weight 0.1 >> "$run/autopilot4.log" 2>&1
   log "spinnet datagen exit $? (remaining $(left)s)"
   timeout $ARM_TRAIN python -u scripts/train_synthetic_demo.py \
     --steps 20000 --scenes 6000 --out runs/ab_spinnet \

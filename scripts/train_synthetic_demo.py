@@ -83,6 +83,11 @@ def main(argv=None):
                     help="checkpoint every N steps (0 = only at the end)")
     ap.add_argument("--resume", action="store_true",
                     help="resume from <out>/ckpts/last if present")
+    ap.add_argument("--gen-only", action="store_true",
+                    help="stop after the dataset (scenes + feature sidecars "
+                         "+ generation_params.json) is ready — lets an "
+                         "orchestrator bound datagen (e.g. the on-TPU "
+                         "SpinNet sidecar pass) with its own timeout")
     ap.add_argument("--eval-only", default="", help="checkpoint dir to eval")
     ap.add_argument("--eval-splits", default="val",
                     help="comma-separated splits to evaluate (train,val)")
@@ -155,6 +160,7 @@ def main(argv=None):
         "features": args.features,
     }
     params_file = data_root / "generation_params.json"
+    names = None
     if not (data_root / "data_split" / "train.txt").exists():
         logger.info("generating %d scenes ...", args.scenes)
         names = generate_dataset(
@@ -163,6 +169,23 @@ def main(argv=None):
             keep_radius_frac=(0.9, 0.98) if args.overlap == "high" else (0.55, 0.8),
             features=args.features == "geometric",
         )
+    elif not params_file.exists():
+        # generation_params.json is written LAST: scenes exist but the
+        # feature-sidecar pass was interrupted (e.g. a bounded datagen
+        # phase timed out mid-SpinNet-extraction). Redo the idempotent
+        # sidecar pass over the recorded splits instead of silently
+        # training on mixed features.
+        names = []
+        for split in ("train.txt", "val.txt"):
+            f = data_root / "data_split" / split
+            if f.exists():
+                names += [ln.strip() for ln in f.read_text().splitlines() if ln.strip()]
+        logger.warning(
+            "dataset at %s has splits but no generation_params.json — "
+            "finishing the %s feature sidecars for %d scenes",
+            data_root, args.features, len(names),
+        )
+    if names is not None:
         if args.features == "spinnet":
             # overwrite the geometric sidecars with MiniSpinNet descriptors:
             # each view is its own context cloud, every point a keypoint
@@ -173,13 +196,20 @@ def main(argv=None):
 
             fx = build_feature_extractor(args.spinnet_checkpoint)
             t_fx = time.time()
+            n_done = n_skip = 0
             for name in names:
                 d = data_root / name
                 for ply_path in sorted(d.glob("*.ply")):
+                    sidecar = d / f"features_{ply_path.stem}.npy"
+                    if sidecar.exists():  # resumable after a bounded timeout
+                        n_skip += 1
+                        continue
                     pts = plyio.read_ply(ply_path, read_faces=False)["points"]
                     feats = fx(pts, pts, args.spinnet_des_r)
-                    np.save(d / f"features_{ply_path.stem}.npy", feats)
-            logger.info("spinnet features: %.0fs", time.time() - t_fx)
+                    np.save(sidecar, feats)
+                    n_done += 1
+            logger.info("spinnet features: %d views (%d already present), %.0fs",
+                        n_done, n_skip, time.time() - t_fx)
         params_file.write_text(json.dumps(gen_params))
         logger.info("wrote %d samples", len(names))
     else:
@@ -194,6 +224,9 @@ def main(argv=None):
             )
         else:
             logger.info("reusing existing dataset at %s", data_root)
+    if args.gen_only:
+        logger.info("--gen-only: dataset ready, exiting")
+        return
 
     model = DiTConfig(num_layers=args.layers)   # 512-dim, 8 heads, bf16
     pipe = RPFConfig(
