@@ -328,6 +328,24 @@ def extract_patches(
     return pts
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _extract_feature_chunks(params, cfg: SpinNetConfig, pts, mask, kps):
+    """One device program for a whole view's descriptors: lax.map over
+    keypoint chunks (bounds the (chunk, K, N) distance work) with patch
+    extraction + the SpinNet forward fused. One call per view instead of
+    one *eager op dispatch* per jnp op per chunk — through the remote-TPU
+    tunnel (~25 ms RTT per dispatch) that is the difference between ~50 min
+    and ~2 min of sidecar extraction for a 12k-view dataset."""
+
+    def one(kp):
+        patches = extract_patches(
+            pts, kp, cfg.des_r, cfg.num_points_per_patch, mask=mask
+        )
+        return spinnet_forward(params, cfg, patches)
+
+    return jax.lax.map(one, kps)  # (nc, chunk, 3) -> (nc, chunk, 32)
+
+
 def extract_features(
     params: dict,
     cfg: SpinNetConfig,
@@ -336,32 +354,26 @@ def extract_features(
     des_r: float,
     chunk: int = 256,
 ) -> np.ndarray:
-    """Full cloud as context, keypoints as queries -> (Q, 32) descriptors.
-    Chunked over keypoints to bound the (chunk, K, N) distance work."""
+    """Full cloud as context, keypoints as queries -> (Q, 32) descriptors."""
     cfg = dataclasses.replace(cfg, des_r=float(des_r))
     from ..ops.points import shape_bucket
 
-    # pad the context cloud to a bucketed size and the last keypoint chunk to
-    # a full chunk: distinct (Q, N) shapes would otherwise recompile
-    # ball_query + spinnet_forward once per part of every sample
+    # pad the context cloud AND the keypoint count to bucketed sizes:
+    # distinct (Q, N) shapes would otherwise recompile ball_query +
+    # spinnet_forward once per part of every sample
     n = len(points)
     nb = shape_bucket(n)
     padded = np.zeros((nb, 3), np.float32)
     padded[:n] = points
     pts = jnp.asarray(padded)
     mask = jnp.asarray(np.arange(nb) < n)
-    out = []
-    for i in range(0, len(keypoints), chunk):
-        kp_np = keypoints[i : i + chunk]
-        q = len(kp_np)
-        kp_pad = np.zeros((chunk, 3), np.float32)
-        kp_pad[:q] = kp_np
-        kp = jnp.asarray(kp_pad)
-        patches = extract_patches(
-            pts, kp, des_r, cfg.num_points_per_patch, mask=mask
-        )
-        out.append(np.asarray(spinnet_forward(params, cfg, patches))[:q])
-    return np.concatenate(out, axis=0)
+    q = len(keypoints)
+    qb = shape_bucket(max(q, chunk))
+    kp_pad = np.zeros((qb, 3), np.float32)
+    kp_pad[:q] = keypoints
+    kps = jnp.asarray(kp_pad.reshape(qb // chunk, chunk, 3))
+    feats = _extract_feature_chunks(params, cfg, pts, mask, kps)
+    return np.asarray(feats).reshape(qb, cfg.out_dim)[:q]
 
 
 def build_feature_extractor(checkpoint: str = "", cfg: SpinNetConfig = SpinNetConfig()):
