@@ -31,7 +31,7 @@ commit() { # commit <msg> <paths...> — pathspec commit, never sweeps others
 }
 
 # measured post-teacher costs (seconds)
-T_RESCORE=2400; T_DISTILL=7800; T_SWEEP=1800; T_BENCH=2400; T_FINAL=1500
+T_RESCORE=2400; T_DISTILL=9600; T_SWEEP=1800; T_BENCH=2400; T_FINAL=1500
 T_COMMITS=600
 tail_cost=$((T_RESCORE + T_DISTILL + T_SWEEP + T_BENCH + T_FINAL + T_COMMITS))
 cut_deadline=$((deadline - tail_cost))
@@ -91,8 +91,8 @@ commit "Teacher 40k rescored on the full 600-scene val protocol" \
 log "distill phase"
 timeout 10800 python -u scripts/reflow_distill.py \
   --teacher "$teacher" --data-root "$run/data" \
-  --out runs/reflow4 --yaw-aug --steps 4000 --couple-epochs 2 \
-  --max-couples 1500 --final-t-scheme euler2 --final-steps 1500 \
+  --out runs/reflow4 --yaw-aug --steps 5000 --couple-epochs 3 \
+  --max-couples 2000 --final-t-scheme euler2 --final-steps 1500 \
   --eval-steps-sweep 1,2,4,10 --eval-limit 300 \
   --export-npz demo_data/ckpts/reflow_student.npz \
   >> "$run/autopilot4.log" 2>&1
@@ -156,7 +156,7 @@ if [ "$(left)" -gt $((ARM_GEN + ARM_TRAIN + T_FINAL + 1800)) ]; then
   commit "SpinNet-conditioned arm at the run-8 recipe (A/B vs run 8)" \
     docs/data/ab_spinnet_summary.json
 else
-  log "skipping spinnet arm (remaining $(left)s < $((ARM_COST + T_FINAL + 1800))s)"
+  log "skipping spinnet arm (remaining $(left)s < $((ARM_GEN + ARM_TRAIN + T_FINAL + 1800))s)"
 fi
 
 log "final idle-tunnel headline bench"
