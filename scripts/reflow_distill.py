@@ -161,7 +161,12 @@ def main(argv=None):
             return o["points"], x_1
 
         def gen_couples(params, seed):
-            """(host PartBatch with points_gt := model x0, x_1) couples."""
+            """(host PartBatch with points_gt := model x0, x_1) couples.
+
+            The d2h copy of each couple overlaps the NEXT batch's sampling:
+            outputs are flushed host-ward asynchronously and materialized one
+            batch behind (through the remote-TPU tunnel a blocking
+            device_get serializes ~8 MB + RTT per batch into the loop)."""
             couples = []
             t0 = time.time()
             loader = BatchLoader(
@@ -169,6 +174,22 @@ def main(argv=None):
                 LoaderConfig(max_points_per_batch=args.batch_tokens,
                              shuffle=True, prefetch=2, seed=seed),
             )
+
+            def start_copy(x):
+                jax.tree.map(
+                    lambda a: a.copy_to_host_async()
+                    if hasattr(a, "copy_to_host_async") else None, x)
+                return x
+
+            pending = None
+
+            def materialize(p):
+                b, x0_t, x_1 = p
+                couples.append(
+                    (jax.device_get(b.replace(points_gt=x0_t)),
+                     jax.device_get(x_1))
+                )
+
             done = False
             for epoch in range(args.couple_epochs):
                 if done:
@@ -178,13 +199,15 @@ def main(argv=None):
                         jax.random.key(seed), epoch * 100_000 + b_idx
                     )
                     x0_t, x_1 = model_generate(params, batch, key)
-                    couples.append(
-                        (jax.device_get(batch.replace(points_gt=x0_t)),
-                         jax.device_get(x_1))
-                    )
-                    if len(couples) >= args.max_couples:
+                    start_copy((x0_t, x_1))
+                    if pending is not None:
+                        materialize(pending)
+                    pending = (batch, x0_t, x_1)
+                    if len(couples) + 1 >= args.max_couples:
                         done = True
                         break
+            if pending is not None:
+                materialize(pending)
             logger.info("generated %d couple batches in %.0fs",
                         len(couples), time.time() - t0)
             if not couples:
@@ -192,22 +215,74 @@ def main(argv=None):
             return couples
 
         def retrain(params, couples, steps, pipe, tag, seed):
-            """Fine-tune ``params`` on the straight bridges of ``couples``."""
+            """Fine-tune ``params`` on the straight bridges of ``couples``.
+
+            Couples live on host (2k x ~8 MB far exceeds HBM); a background
+            thread uploads the next few to the device while the current step
+            computes — without it every step pays the tunnel h2d transfer
+            inline (measured ~1 s/step in round 3 vs 0.28 s/step for the
+            disk-loader trainer, whose BatchLoader prefetches the same way).
+            Safe: make_train_step donates only the state, and the backend was
+            initialized on the main thread at startup (CLAUDE.md gotcha)."""
+            import queue
+            import threading
+
             step_fn = make_train_step(pipe, tx, remat=True, with_noise=True)
-            state = TrainState.create(params, tx, jax.random.key(seed))
+            # copy the incoming params into the state: step_fn donates its
+            # state, so the FIRST step would otherwise delete the caller's
+            # buffers — teacher_params must survive for the eval sweep and
+            # linearity probe (this silently truncated the round-3 sweep to
+            # student-only rows: runs/reflow3/summary.json has no teacher@k).
+            state = TrainState.create(
+                jax.tree.map(jnp.copy, params), tx, jax.random.key(seed)
+            )
             tracker = ExperimentTracker(out / "ckpts" / tag, config=None,
                                         use_wandb=False, snapshot=False)
             rng = np.random.default_rng(seed)
+            q: queue.Queue = queue.Queue(maxsize=3)
+            stop = threading.Event()
+
+            def worker():
+                try:
+                    n = 0
+                    while n < steps:
+                        for i in rng.permutation(len(couples)):
+                            b, x1 = couples[i]
+                            item = (jax.tree.map(jnp.asarray, b),
+                                    jnp.asarray(x1))
+                            while not stop.is_set():
+                                try:
+                                    q.put(item, timeout=0.1)
+                                    break
+                                except queue.Full:
+                                    continue
+                            if stop.is_set():
+                                return
+                            n += 1
+                            if n >= steps:
+                                break
+                except Exception as e:  # surface upload errors to the consumer
+                    q.put(e)
+                finally:
+                    q.put(None)
+
+            t = threading.Thread(target=worker, daemon=True)
+            t.start()
             total, t0 = 0, time.time()
-            while total < steps:
-                for i in rng.permutation(len(couples)):
-                    b, x1 = couples[i]
+            try:
+                while True:
+                    item = q.get()
+                    if item is None:
+                        break
+                    if isinstance(item, Exception):
+                        raise item
+                    b, x1 = item
                     state, metrics = step_fn(state, b, x1)
                     total += 1
                     if total % 100 == 0:
                         tracker.log(total, metrics)
-                    if total >= steps:
-                        break
+            finally:
+                stop.set()
             jax.block_until_ready(state.params)
             logger.info("[%s] distilled %d steps in %.0fs",
                         tag, total, time.time() - t0)
