@@ -337,6 +337,7 @@ def main(argv=None):
                 summary[f"val_rotated_{mode}"] = run_eval(
                     mds, f"val scenes (rotated:{mode})"
                 )
+    out.mkdir(parents=True, exist_ok=True)  # eval-only: out may not exist yet
     (out / "summary.json").write_text(json.dumps(summary, indent=2))
     print(json.dumps(summary))
 
