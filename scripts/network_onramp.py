@@ -213,8 +213,12 @@ def main(argv=None) -> int:
     if args.fabricate and not args.cache:
         tmp = tempfile.TemporaryDirectory(prefix="rap_onramp_")
         args.cache = tmp.name
-    if args.cache:
-        os.environ["RAP_TPU_CACHE"] = args.cache
+    # The cache override is passed EXPLICITLY to each resolution below, not
+    # via os.environ: main() is also called in-process (tests, notebooks),
+    # and a leaked RAP_TPU_CACHE pointing at a fabricated 2-layer checkpoint
+    # makes every LATER weights resolution in the process silently pick it
+    # up (observed as a layer-count KeyError in an unrelated webapp test
+    # that ran after the onramp suite).
 
     # keep the dry run (and the conversion itself) off the TPU tunnel —
     # a training run may own it; conversion + golden test are CPU work
@@ -228,7 +232,7 @@ def main(argv=None) -> int:
     from rap_tpu.train.weights import resolve_checkpoint
 
     t0 = time.time()
-    ckpt = resolve_checkpoint(args.ckpt)
+    ckpt = resolve_checkpoint(args.ckpt, cache_dir=args.cache or None)
     logger.info("resolved %s -> %s", args.ckpt, ckpt)
     golden_test_dit(ckpt, args.layers)
 
@@ -241,7 +245,7 @@ def main(argv=None) -> int:
         logger.info("exported %s (%.1f MB)", out,
                     out.stat().st_size / 1e6)
 
-    sn = resolve_checkpoint(args.spinnet_ckpt)
+    sn = resolve_checkpoint(args.spinnet_ckpt, cache_dir=args.cache or None)
     logger.info("resolved %s -> %s", args.spinnet_ckpt, sn)
     smoke_test_spinnet(sn)
 
