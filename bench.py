@@ -52,7 +52,6 @@ REF_GPU_PAIRS_PER_SEC = 3.0
 PAIRS = 4           # pairs per batch (sweep: 2: 2.68, 4: 2.75, 8: 2.77/s —
                     # larger batches amortize the fixed pose-fit/sampler glue;
                     # 4 keeps p50 latency ~1.5 s while capturing most of it)
-POINTS_PER_PART = 4096
 # ODE steps: 10 is the reference protocol (RAP_inference.yaml:52-65). The
 # BENCH_STEPS env var measures the distilled few-step protocol (reflow,
 # scripts/reflow_distill.py) — only quote those numbers next to the matched
@@ -78,10 +77,19 @@ CKPT = os.environ.get("BENCH_CKPT", _D_CKPT)
 # matched-recall caveat as BENCH_STEPS.
 _PRUNE = os.environ.get("BENCH_PRUNE", "0:4").split(":")
 PRUNE_STEPS, PRUNE_FACTOR = int(_PRUNE[0]), int(_PRUNE[1])
+# BENCH_PARTS / BENCH_POINTS bench the multi-view shape (P parts x N points
+# per scene; default = the pairwise protocol, 2 x 4096). With P != 2 the
+# emitted metric is scenes/s at that shape; vs_baseline is normalized by
+# FLOP-equivalent pairs (one pair-equivalent = one 8192-token scene) so the
+# ratio stays comparable to the pairwise baseline divisor.
+PARTS = int(os.environ.get("BENCH_PARTS", 2))
+POINTS_PER_PART = int(os.environ.get("BENCH_POINTS", 4096))
+_TOK_RATIO = PARTS * POINTS_PER_PART / 8192
 # analytic per-pair work: @10 steps and 12 layers, 24.7 TFLOP attention
 # (quadratic in tokens) + 16.5 projections/FF (linear in tokens); both scale
 # linearly in layer count
-_ATTN, _LIN = 24.7 / 10 * LAYERS / 12, 16.5 / 10 * LAYERS / 12
+_ATTN = 24.7 / 10 * LAYERS / 12 * _TOK_RATIO**2
+_LIN = 16.5 / 10 * LAYERS / 12 * _TOK_RATIO
 _full_steps = STEPS - min(PRUNE_STEPS, STEPS - 1)
 _coarse = min(PRUNE_STEPS, STEPS - 1)
 TFLOP_PER_PAIR = (
@@ -120,9 +128,9 @@ def main():
     pairs = PAIRS * n_dev
     batch = make_regular_synthetic_batch(
         jax.random.key(0),
-        points_per_part=[[POINTS_PER_PART, POINTS_PER_PART] for _ in range(pairs)],
+        points_per_part=[[POINTS_PER_PART] * PARTS for _ in range(pairs)],
         N=POINTS_PER_PART,
-        P=2,
+        P=PARTS,
         S=pairs,
         feat_dim=cfg.model.local_feat_dim,
     )
@@ -178,10 +186,39 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "registered_pairs_per_sec_per_chip_8k_pts",
+                "metric": (
+                    "registered_pairs_per_sec_per_chip_8k_pts"
+                    if PARTS == 2 and _TOK_RATIO == 1.0
+                    else f"registered_scenes_per_sec_per_chip_{PARTS}x"
+                         f"{POINTS_PER_PART}"
+                ),
                 "value": round(pairs_per_sec, 3),
-                "unit": "pairs/s",
-                "vs_baseline": round(pairs_per_sec / REF_GPU_PAIRS_PER_SEC, 3),
+                "unit": "pairs/s" if PARTS == 2 else "scenes/s",
+                # pair-equivalent = one 8192-token scene, so multi-view rows
+                # stay comparable to the pairwise baseline divisor
+                "vs_baseline": round(
+                    pairs_per_sec * _TOK_RATIO / REF_GPU_PAIRS_PER_SEC, 3
+                ),
+                # self-describing protocol fields (ADVICE r4 #2): every
+                # bench line records which model/protocol produced it, so
+                # cross-protocol rows in a jsonl are distinguishable and
+                # the claim-vs-reference vs_baseline ratio is auditable
+                # from the artifact alone
+                "profile": _PROFILE + (
+                    "+override"
+                    if any(os.environ.get(k)
+                           for k in ("BENCH_STEPS", "BENCH_LAYERS",
+                                     "BENCH_CKPT", "BENCH_PRUNE",
+                                     "BENCH_PARTS", "BENCH_POINTS"))
+                    else ""
+                ),
+                "steps": STEPS,
+                "layers": LAYERS,
+                "parts": PARTS,
+                "points_per_part": POINTS_PER_PART,
+                "ckpt": CKPT or "random-init",
+                "baseline_ref": "analytic A100 rap_12@10 = "
+                                f"{REF_GPU_PAIRS_PER_SEC} pairs/s",
             }
         )
     )

@@ -372,7 +372,11 @@ def extract_features(
     pts = jnp.asarray(padded)
     mask = jnp.asarray(np.arange(nb) < n)
     q = len(keypoints)
+    # shape_bucket returns powers of two, which only divide evenly by
+    # power-of-two chunks; round up to a chunk multiple so any public
+    # chunk size keeps the (qb // chunk, chunk, 3) reshape legal
     qb = shape_bucket(max(q, chunk))
+    qb = ((qb + chunk - 1) // chunk) * chunk
     kp_pad = np.zeros((qb, 3), np.float32)
     kp_pad[:q] = keypoints
     kps = jnp.asarray(kp_pad.reshape(qb // chunk, chunk, 3))

@@ -95,8 +95,13 @@ def resolve_checkpoint_dir(path: str | Path) -> Path:
             any(p.glob("*commit_success*")) or (p / "rap_metadata.json").exists()
         )
 
+    # Order: a COMPLETE ``.new`` is always strictly newer than ``path`` —
+    # the save sequence finishes writing ``.new`` (commit file + metadata)
+    # before the swap, so a kill in the window between commit and rename
+    # leaves the latest save in ``.new``. Checking ``path`` first would
+    # resolve to the stale dir and let the next save rmtree the newer one.
     path = Path(path).absolute()
-    for cand in (path, path.with_name(path.name + ".new"),
+    for cand in (path.with_name(path.name + ".new"), path,
                  path.with_name(path.name + ".old")):
         if complete(cand):
             return cand

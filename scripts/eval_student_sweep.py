@@ -47,6 +47,17 @@ def main(argv=None):
     ap.add_argument("--sweep", default="1,2,4,10")
     ap.add_argument("--split", default="val")
     ap.add_argument("--out", default="runs/reflow9/student_sweep.json")
+    ap.add_argument("--icp-refine", action="store_true",
+                    help="post-refine predicted poses with batched trimmed "
+                         "ICP before scoring (registration.refine_poses_icp)"
+                         " — the VERDICT-r4 keep-or-kill measurement; rows "
+                         "are comparable to the non-ICP sweep on the same "
+                         "data-root/seed")
+    ap.add_argument("--icp-trim", type=float, default=0.7)
+    ap.add_argument("--icp-restarts", type=int, default=1)
+    ap.add_argument("--skip-linearity", action="store_true",
+                    help="skip the 10-step trajectory-linearity probe "
+                         "(already committed for the claim npz)")
     args = ap.parse_args(argv)
 
     # main-thread backend init before any loader thread (CLAUDE.md gotcha)
@@ -95,6 +106,9 @@ def main(argv=None):
         res = evaluate_split(
             params, tok_pipe, ds, batch_tokens=args.batch_tokens,
             num_steps=k, tag=f"student@{tok}steps",
+            icp_refine=args.icp_refine,
+            icp_refine_trim=args.icp_trim,
+            icp_refine_restarts=args.icp_restarts,
         )
         summary[f"student@{tok}steps"] = res
         log(f"@{k} steps ({time.time() - t0:.0f}s): "
@@ -107,6 +121,11 @@ def main(argv=None):
             ) if m in res))
         Path(args.out).parent.mkdir(parents=True, exist_ok=True)
         Path(args.out).write_text(json.dumps(summary, indent=2))
+
+    if args.skip_linearity:
+        Path(args.out).write_text(json.dumps(summary, indent=2))
+        print(json.dumps(summary))
+        return
 
     loader = BatchLoader(
         [ds], LoaderConfig(max_points_per_batch=args.batch_tokens,

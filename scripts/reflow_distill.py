@@ -262,9 +262,21 @@ def main(argv=None):
                             if n >= steps:
                                 break
                 except Exception as e:  # surface upload errors to the consumer
-                    q.put(e)
+                    _put_or_drop(e)
                 finally:
-                    q.put(None)
+                    _put_or_drop(None)
+
+            def _put_or_drop(item):
+                # same timeout-put-with-stop-check as the data path: a
+                # blocking put on the full maxsize-3 queue would pin this
+                # daemon thread (and its device-array references) forever
+                # if the consumer died with the queue full
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        return
+                    except queue.Full:
+                        continue
 
             t = threading.Thread(target=worker, daemon=True)
             t.start()

@@ -12,11 +12,12 @@
 # committer (autopilot) can never have its staged files swept in under this
 # loop's message. Exits once <run>/summary.json exists (training + eval done).
 #
-# Usage: scripts/snapshot_loop.sh <run_dir> <interval_s>
+# Usage: scripts/snapshot_loop.sh <run_dir> <interval_s> [out_npz] [layers]
 set -u
 run=${1:-runs/teacher3}
 interval=${2:-900}
-out=demo_data/ckpts/teacher3_last.npz
+out=${3:-demo_data/ckpts/teacher3_last.npz}
+layers=${4:-6}
 last_committed=-1
 tick=0
 while true; do
@@ -32,7 +33,7 @@ print(load_metadata('$run/ckpts/last').get('steps', 0))" 2>/dev/null || echo 0)
   [ "${step:-0}" -gt 0 ] || continue
   tick=$((tick + 1))
   if [ "$step" -gt "$last_committed" ] && [ $((tick % 2)) -eq 0 ]; then
-    if JAX_PLATFORMS=cpu python scripts/snapshot_teacher.py --run "$run" --out "$out" >> "$run/snapshot.log" 2>&1; then
+    if JAX_PLATFORMS=cpu python scripts/snapshot_teacher.py --run "$run" --out "$out" --layers "$layers" >> "$run/snapshot.log" 2>&1; then
       git add -- "$out" "${out%.npz}.json" 2>>"$run/snapshot.log"
       if git commit -q -m "Teacher snapshot at step $step (durable npz export)" -- "$out" "${out%.npz}.json" 2>>"$run/snapshot.log"; then
         last_committed=$step
