@@ -110,6 +110,28 @@ def test_kill_safe_save_swap(tmp_path):
     assert int(restored.step) == 1
 
 
+def test_complete_new_beats_stale_path(tmp_path):
+    """ADVICE r4 #1: a kill in the window between the .new commit and the
+    path swap leaves BOTH a complete ``path`` (stale) and a complete
+    ``.new`` (strictly newer). Resolution must prefer ``.new`` — resolving
+    to ``path`` would resume stale and let the next save rmtree the newest
+    completed save."""
+    from rap_tpu.train.checkpoint import resolve_checkpoint_dir
+
+    state, step, batch, tx = _setup()
+    target, *_ = _setup()
+    last = tmp_path / "last"
+    save_checkpoint(last, state, {"steps": 1})          # stale path
+    s2, _ = step(state, batch)
+    save_checkpoint(tmp_path / "new_stage", s2, {"steps": 2})
+    (tmp_path / "new_stage").rename(tmp_path / "last.new")  # committed .new
+
+    assert resolve_checkpoint_dir(last).name == "last.new"
+    assert load_metadata(last)["steps"] == 2
+    restored = restore_checkpoint(last, target)
+    assert int(restored.step) == 1  # s2's step counter (one step taken)
+
+
 def test_params_npz_roundtrip(tmp_path):
     """save_params_npz/load_params_npz: bf16 export reloads into the params
     structure within bf16 precision; missing/mismatched keys fail loudly."""
