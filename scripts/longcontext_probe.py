@@ -48,7 +48,15 @@ def main(argv=None):
     ap.add_argument("--layers", type=int, default=6)
     ap.add_argument("--steps", type=int, default=2)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--ladder", default="",
+                    help="override rungs as comma list of PARTSxPOINTS "
+                         "(e.g. '40x8192,48x8192' probes toward the "
+                         "reference's 400k-token eval budget)")
     args = ap.parse_args(argv)
+    ladder = LADDER
+    if args.ladder:
+        ladder = [tuple(int(v) for v in r.split("x"))
+                  for r in args.ladder.split(",")]
 
     log("devices:", jax.devices())
     jax.block_until_ready(jnp.zeros(8))
@@ -77,7 +85,7 @@ def main(argv=None):
     out_path = Path(args.out)
     out_path.parent.mkdir(parents=True, exist_ok=True)
     rows = []
-    for parts, npts in LADDER:
+    for parts, npts in ladder:
         tokens = parts * npts
         row = {"parts": parts, "points_per_part": npts, "tokens": tokens,
                "layers": args.layers, "ode_steps": args.steps}
